@@ -1,0 +1,1 @@
+"""Subpackage of fluent_plugin_detect_exceptions_spark."""
