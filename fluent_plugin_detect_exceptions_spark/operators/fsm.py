@@ -1,0 +1,233 @@
+"""Exact FSM-as-scan segmentation core (pure numpy, no Spark).
+
+Reimplements, fully vectorized, the observable semantics of the reference's
+per-stream loop (``TraceAccumulator#push`` — exception_detector.rb:278-292):
+
+* per-line transition functions ``g_i : S → S`` (from the classify tables)
+  composed with a Hillis–Steele doubling scan — function composition over the
+  27-state domain is associative, so states for a whole window come out of
+  ``O(|S|·log W)`` vectorized gathers with **no per-row Python** (SURVEY §7.3);
+* the four detection statuses from ``(matched_before, state_after != start)``
+  (exception_detector.rb:206-225);
+* buffer semantics → start-of-block flags: a segment starts at a row iff its
+  status is no_trace/start_trace, the previous row's status was
+  no_trace/end_trace, or a forced flush precedes it (update_buffer table,
+  exception_detector.rb:335-356);
+* limits via a *repair loop*: max_bytes pre-check / max_lines post-check
+  (exception_detector.rb:284-291) insert a forced flush + FSM reset at the
+  earliest violation, and the scan restarts from that row (the only place FSM
+  output feeds back into its input — SURVEY §7.4);
+* idle-timeout flush (out_detect_exceptions.rb:116-132) as its batch
+  analogue: an event-time gap greater than the flush interval forces a flush
+  + reset before the row (SURVEY O13);
+* nil messages: FSM reset; record passes through when the buffer is empty and
+  is dropped otherwise (exception_detector.rb:279-283, :349-351).
+
+The scan is windowed (``WINDOW`` rows) with carried entry state and carried
+open-buffer counters, so cost is ``O(n·|S|·log W)`` regardless of how many
+limit violations occur.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..rules import START
+
+NO_TRACE = 0
+START_TRACE = 1
+INSIDE_TRACE = 2
+END_TRACE = 3
+
+WINDOW = 8192
+
+
+@dataclass
+class ScanResult:
+    status: np.ndarray      # int8, one of the four statuses
+    state_after: np.ndarray  # int8 FSM state after the row
+    seg_start: np.ndarray   # bool, start-of-block flag
+    emit: np.ndarray        # bool, False only for dropped nil-message rows
+
+
+def _compose_scan(gw: np.ndarray) -> np.ndarray:
+    """Inclusive prefix composition: out[i, s] = state after rows 0..i given
+    entry state s.  Hillis–Steele doubling, O(|S|·log n) vectorized steps."""
+    p = gw.copy()
+    step = 1
+    n = len(p)
+    while step < n:
+        p[step:] = np.take_along_axis(p[step:], p[:-step].astype(np.intp), axis=1)
+        step *= 2
+    return p
+
+
+def scan(
+    cls: np.ndarray,
+    g_tab: np.ndarray,
+    b_tab: np.ndarray,
+    rawlen: np.ndarray,
+    has_nl: np.ndarray,
+    gap_reset: np.ndarray,
+    *,
+    force_line_breaks: bool = False,
+    max_lines: int = 0,
+    max_bytes: int = 0,
+) -> ScanResult:
+    """Scan one ordered stream (rows pre-sorted by turn order).
+
+    ``cls`` uses ``NIL_CLS``(-1) for null messages; ``gap_reset[i]`` marks
+    rows preceded by an event-time gap exceeding the flush interval.
+    Entry state is start_state with an empty buffer (callers start scans at
+    conversation starts or at synchronization points, where this holds).
+    """
+    n = len(cls)
+    status = np.zeros(n, dtype=np.int8)
+    state_after = np.zeros(n, dtype=np.int8)
+    seg_start = np.zeros(n, dtype=bool)
+    emit = np.ones(n, dtype=bool)
+    if n == 0:
+        return ScanResult(status, state_after, seg_start, emit)
+
+    nil = cls < 0
+    forced = gap_reset.astype(bool).copy()  # repair loop adds entries
+
+    pos = 0
+    entry = START
+    carry_count = 0          # messages in the open buffer before `pos`
+    carry_bytes = 0
+    carry_prev_status = NO_TRACE  # empty buffer at stream start behaves alike
+    carry_open = False
+
+    while pos < n:
+        end = min(n, pos + WINDOW)
+        w = end - pos
+        csl = cls[pos:end]
+        nl = nil[pos:end]
+        fr = forced[pos:end]
+
+        gw = g_tab[np.clip(csl, 0, None)]
+        bw = b_tab[np.clip(csl, 0, None)]
+        if nl.any():
+            gw[nl] = START
+            bw[nl] = False
+        rr = fr & ~nl
+        if rr.any():
+            # forced flush+reset: the row transitions from start_state
+            gw[rr] = gw[rr, START][:, None]
+            bw[rr] = bw[rr, START][:, None]
+
+        p = _compose_scan(gw)
+        sa = p[:, entry]
+        sb = np.empty(w, dtype=np.int8)
+        sb[0] = entry
+        sb[1:] = sa[:-1]
+        matched = np.take_along_axis(bw, sb[:, None].astype(np.intp), axis=1)[:, 0]
+        inside = sa != START
+        st = np.where(
+            matched,
+            np.where(inside, INSIDE_TRACE, END_TRACE),
+            np.where(inside, START_TRACE, NO_TRACE),
+        ).astype(np.int8)
+
+        # ---- buffer simulation ------------------------------------------
+        adds = ~nl
+        prev_st = np.empty(w, dtype=np.int8)
+        prev_st[0] = carry_prev_status
+        prev_st[1:] = st[:-1]
+        prev_emptied = (prev_st == NO_TRACE) | (prev_st == END_TRACE)
+        if w > 0:
+            prev_emptied[0] = not carry_open
+        # buffer empty immediately before this row's add
+        r = (st == START_TRACE) | (st == NO_TRACE) | prev_emptied | fr
+
+        idx = np.arange(w)
+        last_r = np.maximum.accumulate(np.where(r, idx, -1))
+        cum_adds = np.cumsum(adds)
+        cum_adds_before = np.concatenate(([0], cum_adds[:-1]))
+        base_counts = np.where(
+            last_r >= 0, cum_adds_before[np.clip(last_r, 0, None)], -carry_count
+        )
+        count_after = cum_adds - base_counts
+        count_before = count_after - adds
+
+        if force_line_breaks:
+            extra = (~has_nl[pos:end]) & adds & (count_before > 0)
+            add_len = rawlen[pos:end] + extra
+        else:
+            add_len = rawlen[pos:end]
+        cum_len = np.cumsum(np.where(adds, add_len, 0))
+        cum_len_before = np.concatenate(([0], cum_len[:-1]))
+        base_bytes = np.where(
+            last_r >= 0, cum_len_before[np.clip(last_r, 0, None)], -carry_bytes
+        )
+        bytes_after = cum_len - base_bytes
+
+        open_after = ((st == INSIDE_TRACE) | (st == START_TRACE)) & ~nl
+        s_prev = np.empty(w, dtype=np.int64)
+        s_prev[0] = carry_bytes if carry_open else 0
+        s_prev[1:] = np.where(open_after[:-1], bytes_after[:-1], 0)
+        s_prev[fr] = 0  # a forced flush already emptied the buffer
+
+        # ---- limit violations (repair loop) -----------------------------
+        # q = position where a forced flush+reset must be inserted (None if
+        # no violation).  max_bytes acts *before* its row; max_lines *after*.
+        q = None
+        if max_bytes > 0:
+            vb = (~nl) & (s_prev > 0) & (s_prev + rawlen[pos:end] > max_bytes) & ~fr
+            hits = np.flatnonzero(vb)
+            if hits.size:
+                q = int(hits[0])
+        if max_lines > 0:
+            vl = open_after & (count_after == max_lines)
+            hits = np.flatnonzero(vl[: q if q is not None else w])
+            if hits.size:
+                q = min(q, int(hits[0]) + 1) if q is not None else int(hits[0]) + 1
+
+        commit = w if q is None else min(q, w)
+        sl = slice(pos, pos + commit)
+        status[sl] = st[:commit]
+        state_after[sl] = sa[:commit]
+        # start-of-block flag (SURVEY O8): own status starts a block, the
+        # previous row's status closed one, or a forced flush precedes us.
+        pe = (prev_st == NO_TRACE) | (prev_st == END_TRACE)
+        flags = (st == NO_TRACE) | (st == START_TRACE) | pe | fr
+        seg_start[sl] = flags[:commit]
+        # nil rows pass through only when the buffer was empty before them
+        be_before = np.empty(w, dtype=bool)
+        be_before[0] = (not carry_open) or bool(fr[0])
+        be_before[1:] = ~open_after[:-1] | fr[1:]
+        emit[sl] = (~nl | be_before)[:commit]
+
+        if commit > 0:
+            entry = int(sa[commit - 1])
+            carry_prev_status = int(st[commit - 1])
+            carry_open = bool(open_after[commit - 1])
+            carry_count = int(count_after[commit - 1]) if carry_open else 0
+            carry_bytes = int(bytes_after[commit - 1]) if carry_open else 0
+        if q is not None and pos + q < n:
+            # forced flush + reset at absolute position pos+q; if it falls
+            # inside this window we rescan from it, otherwise the next
+            # window's first row picks it up (fr overrides the stale open-
+            # buffer carries: r/s_prev/be_before all honor `forced`).
+            forced[pos + q] = True
+        pos += commit
+
+    seg_start[0] = True
+    return ScanResult(status, state_after, seg_start, emit)
+
+
+def last_absorbing(cls: np.ndarray, absorbing: np.ndarray) -> int:
+    """Index of the last row whose line is universally absorbing (forces
+    start_state + empty buffer regardless of prior history), or -1.
+
+    Used to find synchronization points inside warm-up overlaps of salted
+    chunks: after such a row the scan is history-independent, so a chunk can
+    be processed exactly without knowing its true entry state.
+    """
+    nil = cls < 0
+    ab = np.where(nil, True, absorbing[np.clip(cls, 0, None)])
+    hits = np.flatnonzero(ab)
+    return int(hits[-1]) if hits.size else -1
