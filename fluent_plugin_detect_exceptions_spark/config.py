@@ -1,0 +1,86 @@
+"""Job configuration (SURVEY.md O2).
+
+Mirrors the reference's 8 config params (out_detect_exceptions.rb:25-53)
+plus the Spark-scale knobs (salted chunking for skewed conversations).
+Validated at driver construction; the dataclass is captured by closure into
+executor tasks (tiny, no broadcast needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .rules import DEFAULT_FIELDS, RULES_BY_LANG
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- reference params (out_detect_exceptions.rb:25-40) ---
+    #: prefix stripped from the routing tag (required in the reference; here
+    #: optional — None disables the rewrite).  O14.
+    remove_tag_prefix: str | None = None
+    #: column holding the raw message text; '' probes DEFAULT_FIELDS then
+    #: 'text' against the input schema at plan time (field learning, O4).
+    message: str = "text"
+    #: event-time gap (seconds) that force-flushes a pending trace (batch
+    #: analogue of multiline_flush_interval, O13).  None disables.
+    multiline_flush_interval: float | None = None
+    #: language families to detect; () means all (O7).
+    languages: tuple[str, ...] = ()
+    #: add line breaks when combining stacks whose lines lack them (O12).
+    force_line_breaks: bool = False
+    #: max buffered lines per trace, 0 = unlimited (O11).  Reference default 1000.
+    max_lines: int = 1000
+    #: max buffered chars per trace, 0 = unlimited (O10).
+    max_bytes: int = 0
+    #: optional secondary stream column for demux (O3); e.g. 'tool'.
+    stream: str | None = None
+
+    # --- scale knobs (north rule: explicit partitioning / skew handling) ---
+    #: conversation key column.
+    conv_col: str = "conv_id"
+    #: ordering column within a conversation.
+    order_col: str = "turn_idx"
+    #: event-time column (timeout gaps).
+    ts_col: str = "ts"
+    #: salt very long conversations into chunks of this many turns; 0 turns
+    #: chunking off.  Only active when `stream` is None.
+    chunk_size: int = 1 << 17
+    #: warm-up overlap rows prepended to each chunk to find a scan
+    #: synchronization point.  Must be < chunk_size.
+    warmup: int = 4096
+    #: cap on the driver-side fallback list of unsynchronizable
+    #: conversations before chunking is disabled for the run.
+    max_fallback_convs: int = 10_000
+
+    def __post_init__(self):
+        langs = tuple(str(x).lower() for x in self.languages)
+        object.__setattr__(self, "languages", langs or ("all",))
+        for lang in self.languages:
+            if lang not in RULES_BY_LANG:
+                raise ValueError(f"Unknown language: {lang}")
+        if self.chunk_size and self.warmup >= self.chunk_size:
+            raise ValueError("warmup must be smaller than chunk_size")
+        if self.max_lines < 0 or self.max_bytes < 0:
+            raise ValueError("max_lines/max_bytes must be >= 0")
+
+    def resolve_message_field(self, columns) -> str | None:
+        """Plan-time field learning (exception_detector.rb:323-333): '' probes
+        DEFAULT_FIELDS then 'text'; a configured-but-missing field returns
+        None → every record passes through unchanged."""
+        if self.message == "":
+            for f in (*DEFAULT_FIELDS, "text"):
+                if f in columns:
+                    return f
+            return None
+        return self.message if self.message in columns else None
+
+    @property
+    def chunking_active(self) -> bool:
+        return bool(self.chunk_size) and self.stream is None
+
+    def group_keys(self) -> list[str]:
+        keys = [self.conv_col]
+        if self.stream is not None:
+            keys.append(self.stream)
+        return keys

@@ -1,0 +1,211 @@
+"""End-to-end Spark pipeline vs the pure-Python oracle on deterministic
+synthetic transcripts — routed-row equality (per-turn text equality under
+stable (conv_id, first_turn_idx) ordering) and per-sink aggregate counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_detect_exceptions_spark import fixtures as fx
+from fluent_plugin_detect_exceptions_spark.config import PipelineConfig
+from fluent_plugin_detect_exceptions_spark.oracle import Accumulator
+from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
+    detect_exceptions,
+    detect_with_counts,
+)
+from fluent_plugin_detect_exceptions_spark.sources.transcripts import (
+    BASE_EPOCH,
+    local_rows,
+    synth_transcripts,
+)
+
+
+def oracle_routed(rows_by_key, cfg: PipelineConfig):
+    """Run the oracle accumulator per logical stream; return the comparable
+    row set."""
+    out = []
+    for _, rows in rows_by_key.items():
+        acc = Accumulator(
+            "text",
+            cfg.languages,
+            force_line_breaks=cfg.force_line_breaks,
+            max_lines=cfg.max_lines,
+            max_bytes=cfg.max_bytes,
+            flush_interval=cfg.multiline_flush_interval,
+        )
+        for r in sorted(rows, key=lambda x: x["turn_idx"]):
+            acc.push(r["ts"], dict(r))
+        acc.force_flush()
+        for e in acc.out:
+            rec = e.record
+            out.append(
+                (
+                    rec["conv_id"],
+                    rec["turn_idx"],
+                    rec["role"],
+                    rec["tool"],
+                    e.ts,
+                    rec["text"],
+                    e.lang,
+                    e.n_lines,
+                )
+            )
+    return sorted(out)
+
+
+def group_rows(rows, cfg: PipelineConfig):
+    by_key = {}
+    for r in rows:
+        key = (r["conv_id"], r[cfg.stream]) if cfg.stream else r["conv_id"]
+        by_key.setdefault(key, []).append(r)
+    return by_key
+
+
+def spark_routed(df, cfg: PipelineConfig):
+    routed = detect_exceptions(df, cfg)
+    assert routed.filter(~F.col("sync_ok")).count() == 0
+    got = routed.select(
+        "conv_id",
+        "first_turn_idx",
+        "role",
+        "tool",
+        F.unix_timestamp("ts").alias("ts"),
+        "text",
+        "lang",
+        "n_lines",
+    ).collect()
+    return sorted(tuple(r) for r in got)
+
+
+def assert_pipeline_matches(spark, cfg, n_convs=20, repeats=1):
+    df = synth_transcripts(spark, n_convs, repeats)
+    rows = local_rows(n_convs, repeats)
+    assert spark_routed(df, cfg) == oracle_routed(group_rows(rows, cfg), cfg)
+
+
+def test_flagship_default_config(spark):
+    assert_pipeline_matches(spark, PipelineConfig(), n_convs=20, repeats=2)
+
+
+def test_chunked_equals_unchunked(spark):
+    df = synth_transcripts(spark, 12, repeats=3)
+    base = spark_routed(df, PipelineConfig(chunk_size=0))
+    for chunk_size, warmup in ((64, 16), (32, 8), (128, 64)):
+        cfg = PipelineConfig(chunk_size=chunk_size, warmup=warmup)
+        assert spark_routed(df, cfg) == base, (chunk_size, warmup)
+    rows = local_rows(12, 3)
+    cfg = PipelineConfig()
+    assert base == oracle_routed(group_rows(rows, cfg), cfg)
+
+
+@pytest.mark.parametrize("languages", [("java",), ("python", "go"), ("ruby",)])
+def test_language_subsets(spark, languages):
+    assert_pipeline_matches(spark, PipelineConfig(languages=languages), n_convs=10)
+
+
+def test_max_lines(spark):
+    assert_pipeline_matches(spark, PipelineConfig(max_lines=2), n_convs=10)
+    assert_pipeline_matches(spark, PipelineConfig(max_lines=3, chunk_size=32, warmup=16), n_convs=10)
+
+
+def test_max_bytes(spark):
+    assert_pipeline_matches(spark, PipelineConfig(max_bytes=len(fx.JAVA_EXC_PART1)), n_convs=10)
+
+
+def test_force_line_breaks(spark):
+    # feed without trailing newlines; force_line_breaks reconstructs them
+    rows = [
+        {
+            "conv_id": "c0",
+            "turn_idx": i,
+            "role": "user",
+            "text": line.rstrip("\n"),
+            "tool": "t",
+            "ts": BASE_EPOCH + i,
+        }
+        for i, line in enumerate(fx.lines(fx.PLUGIN_JAVA_EXC))
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    cfg = PipelineConfig(force_line_breaks=True)
+    got = spark_routed(df, cfg)
+    assert got == oracle_routed(group_rows(rows, cfg), cfg)
+    assert got[0][5] == fx.PLUGIN_JAVA_EXC.rstrip("\n")
+
+
+def test_timeout_gap_split(spark):
+    lines = fx.lines(fx.PLUGIN_JAVA_EXC) + ["  at x\n", "  at y\n"]
+    ts = [BASE_EPOCH + i for i in range(5)] + [BASE_EPOCH + 20, BASE_EPOCH + 21]
+    rows = [
+        {"conv_id": "c0", "turn_idx": i, "role": "user", "text": line, "tool": "t", "ts": ts[i]}
+        for i, line in enumerate(lines)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    cfg = PipelineConfig(multiline_flush_interval=1)
+    got = spark_routed(df, cfg)
+    assert got == oracle_routed(group_rows(rows, cfg), cfg)
+    assert len(got) == 3  # JAVA_EXC combined + two singles
+    nosplit = spark_routed(df, PipelineConfig())
+    assert len(nosplit) == 1
+
+
+def test_separate_streams(spark):
+    # interleaved java/python streams demuxed by the tool column
+    # (test_out_detect_exceptions.rb:328-351)
+    ja, py = fx.lines(fx.PLUGIN_JAVA_EXC), fx.lines(fx.PLUGIN_PYTHON_EXC)
+    seq = (
+        [("java", ja[0])]
+        + [("python", line) for line in py[0:2]]
+        + [("java", line) for line in ja[1:]]
+        + [("java", line) for line in ja]
+        + [("python", line) for line in py[2:]]
+        + [("java", "something else")]
+    )
+    rows = [
+        {"conv_id": "c0", "turn_idx": i, "role": "user", "text": line, "tool": stream,
+         "ts": BASE_EPOCH + i}
+        for i, (stream, line) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    cfg = PipelineConfig(stream="tool")
+    got = spark_routed(df, cfg)
+    assert got == oracle_routed(group_rows(rows, cfg), cfg)
+    texts = [g[5] for g in got]
+    assert texts.count(fx.PLUGIN_JAVA_EXC) == 2
+    assert fx.PLUGIN_PYTHON_EXC in texts
+
+
+def test_sink_counts_and_tag_rewrite(spark):
+    df = synth_transcripts(spark, 10, repeats=1)
+    cfg = PipelineConfig(remove_tag_prefix="conv")
+    routed, counts = detect_with_counts(df, cfg)
+    routed = routed.cache()
+    tags = routed.select("out_tag").distinct().collect()
+    assert all("." not in t["out_tag"] and not t["out_tag"].startswith("conv") for t in tags)
+    cnt = {r["sink"]: r["n"] for r in counts.collect()}
+    # scenario library guarantees all families appear across 10 convs
+    rows = local_rows(10, 1)
+    want = {}
+    for (_, _, _, _, _, _, lang, _n) in oracle_routed(group_rows(rows, cfg), cfg):
+        sink = f"lang_{lang}" if lang else "passthrough"
+        want[sink] = want.get(sink, 0) + 1
+    assert cnt == want
+    routed.unpersist()
+
+
+def test_wrong_message_field_passthrough(spark):
+    # configured-but-missing message field: every record passes through
+    df = synth_transcripts(spark, 4, repeats=1)
+    cfg = PipelineConfig(message="doesnotexist")
+    routed = detect_exceptions(df, cfg)
+    assert routed.count() == df.count()
+    assert routed.filter(F.col("lang").isNotNull()).count() == 0
+
+
+def test_field_learning(spark):
+    # message='' probes DEFAULT_FIELDS then 'text' (plan-time learning)
+    df = synth_transcripts(spark, 4, repeats=1)
+    cfg = PipelineConfig(message="")
+    rows = local_rows(4, 1)
+    assert spark_routed(df, cfg) == oracle_routed(group_rows(rows, PipelineConfig()), PipelineConfig())
