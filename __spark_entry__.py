@@ -1,38 +1,185 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship exception pipeline; ``queries`` exposes every
+implemented operator from SURVEY.md §2 plus the training-data extensions;
+``oracle_sql`` returns DuckDB-equivalent SQL for each (the flagship FSM is
+expressed as a generated recursive CTE — see plans/oracle_sql.py).
+
+Transcript queries synthesize their input deterministically from literals +
+range() (BASELINE.json input_hint; no external data), identically in Spark
+and DuckDB.  Document/embedding queries run on the sf_dir parquet tables.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fluent_plugin_detect_exceptions_spark.config import PipelineConfig
+from fluent_plugin_detect_exceptions_spark.functions import text as T
+from fluent_plugin_detect_exceptions_spark.operators import dedup as D
+from fluent_plugin_detect_exceptions_spark.operators import similarity as S
+from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
+from fluent_plugin_detect_exceptions_spark.plans import oracle_sql as O
+from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_exceptions
+from fluent_plugin_detect_exceptions_spark.rules import STATES, compile_rules
+from fluent_plugin_detect_exceptions_spark.sources.transcripts import synth_transcripts
+
+N_CONVS = 40  # correctness-gate transcript size (fixed: oracle SQL embeds it)
+REPEATS = 1
+FLAGSHIP_CFG = PipelineConfig(remove_tag_prefix="conv", max_lines=0)
+
+
+def _flagship(spark: SparkSession, n_convs: int = N_CONVS) -> DataFrame:
+    df = synth_transcripts(spark, n_convs, REPEATS)
+    routed = detect_exceptions(df, FLAGSHIP_CFG)
+    return routed.select(
+        "conv_id",
+        "first_turn_idx",
+        "role",
+        "tool",
+        F.unix_timestamp("ts").alias("ts"),
+        "text",
+        "n_lines",
+        "lang",
+        "sink",
+        "out_tag",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001-scale input; driver checks rows>0 + stable schema."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = max(10, min(60, docs.count() // 5))
+    return _flagship(spark, n)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_exception_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship(spark)
+
+
+def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = synth_transcripts(spark, N_CONVS, REPEATS)
+    return sink_counts(detect_exceptions(df, FLAGSHIP_CFG))
+
+
+def _q_classify_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = compile_rules(("all",))
+    expr = None
+    for pid, tid in rules.by_state[0]:
+        fam = STATES[tid].split("_")[0]
+        cond = F.col("text").rlike(rules.patterns[pid])
+        expr = F.when(cond, F.lit(fam)) if expr is None else expr.when(cond, F.lit(fam))
+    df = synth_transcripts(spark, N_CONVS, REPEATS)
+    return df.select("conv_id", "turn_idx", expr.alias("start_lang"))
+
+
+def _q_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = synth_transcripts(spark, N_CONVS, REPEATS)
+    return df.groupBy("conv_id", "tool").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+    )
+
+
+def _q_tag_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = synth_transcripts(spark, 5, 1)
+    tags = df.select(F.concat(F.lit("prefix.plus."), F.col("conv_id")).alias("tag")).distinct()
+    return tags.select(
+        "tag",
+        F.regexp_replace("tag", r"^prefix\.plus\.", "").alias("strip_full"),
+        F.regexp_replace("tag", r"^prefix\.pl\.", "").alias("strip_partial"),
+        F.regexp_replace("tag", r"^does\.not\.occur\.", "").alias("strip_missing"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.punct_count(F.col("text")).alias("n_punct"),
+        T.digit_count(F.col("text")).alias("n_digits"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    stats = T.quality_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["n_punct"].alias("n_punct"),
+        stats["n_stopwords"].alias("n_stopwords"),
+        stats["tok_len_deci"].alias("tok_len_deci"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_buckets(_docs(spark, sf_dir))
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.cosine_topk(emb, [float(x) for x in qv], k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exception_pipeline": _q_exception_pipeline,
+        "sink_counts": _q_sink_counts,
+        "classify_start": _q_classify_start,
+        "demux_counts": _q_demux_counts,
+        "tag_rewrite": _q_tag_rewrite,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "minhash_bands": _q_minhash_bands,
+        "embedding_topk": _q_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exception_pipeline": O.pipeline_sql(N_CONVS, REPEATS),
+        "sink_counts": O.sink_counts_sql(N_CONVS, REPEATS),
+        "classify_start": O.classify_start_sql(N_CONVS, REPEATS),
+        "demux_counts": O.demux_counts_sql(N_CONVS, REPEATS),
+        "tag_rewrite": O.tag_rewrite_sql(5),
+        "dedup_exact": O.DEDUP_EXACT_SQL,
+        "token_stats": O.TOKEN_STATS_SQL,
+        "quality_stats": O.QUALITY_SQL,
+        "lang_id": O.lang_id_doc_sql(),
+        "fingerprint": O.FINGERPRINT_SQL,
+        "minhash_bands": O.minhash_bands_sql(),
+        "embedding_topk": O.embedding_topk_sql(),
+    }

@@ -1,0 +1,88 @@
+"""Text-analysis functions for the training-data pipeline extensions:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side built-ins (no UDFs), and every construct has an exact DuckDB
+equivalent so the driver's oracle can hash-compare results:
+
+* ``stable_hash64``: md5 → first 15 hex digits → bigint.  Engine-portable
+  (Spark ``conv(substring(md5(x),1,15),16,10)`` ≡ DuckDB
+  ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``), unlike xxhash64/hash().
+* counts use ``regexp_count`` (Spark) ≡ ``len(regexp_extract_all)`` (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: deterministic language marker words (counts, not presence — no dedup
+#: semantics to disagree on between engines)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "und", "die", "nicht"),
+    "es": ("el", "que", "los", "una"),
+}
+LANG_ORDER = tuple(LANG_MARKERS)  # tie-break priority
+
+
+def stable_hash64(col: Column) -> Column:
+    """Portable 60-bit hash as bigint (same value in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"\S+")).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"[.,!?;:]")).cast("long")
+
+
+def digit_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"[0-9]")).cast("long")
+
+
+def marker_count(col: Column, lang: str) -> Column:
+    pat = r"\b(?:" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Deterministic marker-count argmax; ties go to the earlier language in
+    LANG_ORDER; 'und' when no markers hit.  Cascade form (identical CASE in
+    the DuckDB oracle): a branch fires iff its count is positive and >= every
+    later language's count — unreachable when an earlier language dominates."""
+    counts = [marker_count(col, lang) for lang in LANG_ORDER]
+    result = None
+    for i, lang in enumerate(LANG_ORDER):
+        cond = counts[i] > 0
+        for j in range(i + 1, len(LANG_ORDER)):
+            cond = cond & (counts[i] >= counts[j])
+        result = F.when(cond, F.lit(lang)) if result is None else result.when(cond, F.lit(lang))
+    return result.otherwise(F.lit("und"))
+
+
+def normalized(col: Column) -> Column:
+    """lowercase + collapse whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(col))
+
+
+def quality_stats(col: Column) -> dict[str, Column]:
+    """Integer-valued quality features (ints hash identically across
+    engines; ratios are derived by consumers)."""
+    n_chars = F.length(col).cast("long")
+    toks = token_count(col)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "n_punct": punct_count(col),
+        "n_digits": digit_count(col),
+        "n_stopwords": marker_count(col, "en"),
+        # mean token length in tenths (integerized: floor(10*chars/tokens))
+        "tok_len_deci": F.floor(10.0 * n_chars / F.greatest(toks, F.lit(1))).cast("long"),
+    }

@@ -1,0 +1,192 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design:
+
+* **exact**: one hash-groupBy on a 128-bit digest — fully map-side
+  combinable, no skew (digests are uniform);
+* **MinHash+LSH**: shingle → n portable hashes → per-band bucket key →
+  bucket groupBy.  The only shuffle is on band keys; candidate verification
+  (Jaccard) happens inside buckets, never all-pairs;
+* **SimHash**: 64-bit signature from token hashes, entirely with JVM array
+  expressions (bit-vote via per-bit sums over the token-hash array).
+
+Hashing is md5-based (functions.text.stable_hash64) so every step has an
+exact DuckDB oracle; per-hash-family salts are baked into the hashed string
+(``md5(j || ':' || shingle)``) rather than ``a*h+b mod p`` arithmetic, which
+would overflow-wrap differently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import normalized, stable_hash64
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+DEFAULT_SHINGLE_K = 5
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: digest, cardinality, representative id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (the min id) per distinct text value."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="inner")
+
+
+def shingles(text_col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct character k-shingles of the normalized text (JVM-side array
+    exprs; short texts yield the whole text as one shingle)."""
+    base = normalized(text_col)
+    n = F.length(base)
+    seq = F.transform(F.sequence(F.lit(0), n - k), lambda i: base.substr(i + 1, F.lit(k)))
+    return F.when(n >= k, F.array_distinct(seq)).otherwise(F.array(base))
+
+
+def minhash_signature(
+    text_col: Column,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = DEFAULT_SHINGLE_K,
+) -> Column:
+    """Array of ``num_hashes`` minhash values (bigint)."""
+    sh = shingles(text_col, k)
+
+    def hasher(j: int):
+        # NB: must be a 1-arg lambda — a `lambda s, j=j` would be treated by
+        # F.transform as its (element, index) binary form.
+        prefix = f"{j}:"
+        return lambda s: stable_hash64(F.concat(F.lit(prefix), s))
+
+    sigs = [F.array_min(F.transform(sh, hasher(j))) for j in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, band_id, band_key): LSH bucket assignments.  Documents sharing a
+    (band_id, band_key) are near-duplicate candidates."""
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    out = df.select(F.col(id_col), sig.alias("sig"))
+    n_bands = num_hashes // band_size
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * band_size + i].cast("string") for i in range(band_size)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return out.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """LSH buckets holding >1 document (the dedup candidate groups)."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_millis: int = 500,
+    k: int = DEFAULT_SHINGLE_K,
+    **kw,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact shingle
+    Jaccard (integerized to 1/1000ths).  The self-join runs only inside LSH
+    buckets — never all-pairs."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    docs = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.filter("sh_a", lambda x: F.array_contains(F.col("sh_b"), x)))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.floor(1000.0 * inter / union).cast("long")
+    return joined.select("id_a", "id_b", jac.alias("jaccard_millis")).filter(
+        F.col("jaccard_millis") >= threshold_millis
+    )
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens of the normalized text.
+
+    Bit b of the signature is 1 iff the sum over tokens of
+    ``(token_hash >> b) & 1 ? +1 : -1`` is positive.  Token hashes are the
+    portable 60-bit md5 hash, so bits 60..63 are always the minority vote —
+    harmless (constant across engines).
+    """
+    toks = F.split(normalized(text_col), " ")
+    hashes = F.transform(toks, stable_hash64)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(60)
+    ]
+    out = F.lit(0).cast("long")
+    for bcol in bits:
+        out = out + bcol
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """Bucket by the low ``prefix_bits`` of the simhash (one LSH table);
+    buckets with >1 doc are near-dup candidates."""
+    sh = simhash64(F.col(text_col))
+    return (
+        df.select(F.col(id_col), sh.alias("simhash"))
+        .withColumn("bucket", F.col("simhash").bitwiseAND(F.lit((1 << prefix_bits) - 1)))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k against a query vector: the
+  baseline.  Dot products run as JVM array expressions (zip_with +
+  aggregate), fully parallel over partitions; top-k is a global sort-limit
+  (Spark takes per-partition top-k then merges — no full sort materialized).
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
+  (signs of dot products with deterministic md5-derived hyperplanes) restrict
+  the search to the query's bucket; falls back to brute force within it.
+
+Sums run in array order with double accumulators on both engines, so results
+are reproducible in the DuckDB oracle (integerized to micro-units).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / F.sqrt(dot(da, da)) / F.sqrt(dot(db, db))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity (micro-integerized for
+    cross-engine determinism; ties broken by id)."""
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), qlit)
+    return (
+        df.select(F.col(id_col), F.floor(sim * 1_000_000).cast("long").alias("sim_micro"))
+        .orderBy(F.col("sim_micro").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 (no RNG state)."""
+    import hashlib
+
+    vals = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"plane:{plane_id}:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            if len(vals) >= dim:
+                break
+            u = int.from_bytes(h[off : off + 4], "big")
+            vals.append((u / 2**31) - 1.0)  # [-1, 1)
+        i += 1
+    return vals
+
+
+def lsh_bucket_expr(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
+    v = _as_double(vec_col)
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        out = out + F.when(dot(v, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: search only the query's hyperplane bucket.  At cluster scale the
+    bucket column is a partition/cluster key, so this prunes ~2^n_planes of
+    the data before any distance math."""
+    dim = len(query_vec)
+    bucket = lsh_bucket_expr(F.col(vec_col), dim, n_planes)
+    qsig = 0
+    for p in range(n_planes):
+        s = sum(q * x for q, x in zip(query_vec, _hyperplane(dim, p)))
+        if s > 0:
+            qsig |= 1 << p
+    cand = df.withColumn("__bucket", bucket).filter(F.col("__bucket") == qsig)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

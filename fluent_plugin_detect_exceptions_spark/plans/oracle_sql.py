@@ -1,0 +1,317 @@
+"""DuckDB oracle SQL generation for the driver's correctness gate.
+
+The flagship exception pipeline is not natively SQL — but it *is* expressible
+as a recursive CTE: the FSM transition is a pure function of (state, line),
+so `WITH RECURSIVE scan` steps conv-by-conv through turn_idx, reproducing the
+double-transition semantics (exception_detector.rb:206-225) with CASE chains
+generated straight from the rule catalog.  Statuses → start-of-block flags →
+running-sum segment ids → ordered string_agg then mirror the Spark plan
+1:1, so the driver can hash-compare both engines' results.
+
+The synthetic transcripts themselves are derived from literals + range(),
+identically in Spark (sources/transcripts.py) and here — no external data.
+"""
+
+from __future__ import annotations
+
+from ..rules import START_STATE, STATES, CompiledRules, compile_rules, to_re2
+from ..sources.transcripts import BASE_EPOCH, N_SCENARIOS, scenario_lines
+
+
+def q(s: str) -> str:
+    """SQL single-quoted literal (DuckDB standard strings: '' escapes ')."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _first_match_case(rules: CompiledRules, state_expr: str, text: str) -> str:
+    """CASE over the current state returning the first matching rule's
+    to_state, or NULL if no rule of that state matches."""
+    whens = []
+    for sid, targets in enumerate(rules.by_state):
+        if not targets:
+            continue
+        inner = " ".join(
+            f"WHEN regexp_matches({text}, {q(to_re2(rules.patterns[pid]))}) THEN {q(STATES[tid])}"
+            for pid, tid in targets
+        )
+        whens.append(f"WHEN {q(STATES[sid])} THEN (CASE {inner} ELSE NULL END)")
+    return f"(CASE {state_expr} " + " ".join(whens) + " ELSE NULL END)"
+
+
+def _start_match_case(rules: CompiledRules, text: str) -> str:
+    """First matching start_state rule's to_state, else 'start_state'
+    (the retry path of exception_detector.rb:208-211)."""
+    inner = " ".join(
+        f"WHEN regexp_matches({text}, {q(to_re2(rules.patterns[pid]))}) THEN {q(STATES[tid])}"
+        for pid, tid in rules.by_state[0]
+    )
+    return f"(CASE {inner} ELSE {q(START_STATE)} END)"
+
+
+def transcripts_cte(n_convs: int, repeats: int = 1) -> str:
+    """CTE block `lines`, `t` — byte-identical to synth_transcripts()."""
+    rows = scenario_lines(repeats)
+    values = ",\n    ".join(f"({scn}, {turn}, {q(text)})" for scn, turn, text in rows)
+    return f"""
+lines(scn, turn_idx, text) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) v(scn, turn_idx, text)
+),
+t AS (
+  SELECT 'conv.' || lpad(CAST(c.c AS VARCHAR), 6, '0') AS conv_id,
+         l.turn_idx,
+         CASE WHEN l.turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         l.text,
+         'tool' || CAST(l.turn_idx % 3 AS VARCHAR) AS tool,
+         CAST({BASE_EPOCH} + l.turn_idx AS BIGINT) AS ts
+  FROM (SELECT range AS c FROM range({n_convs})) c
+  JOIN lines l ON l.scn = c.c % {N_SCENARIOS}
+)"""
+
+
+LANG_CASE = (
+    "CASE WHEN first_state LIKE 'java%' THEN 'java' "
+    "WHEN first_state LIKE 'python%' THEN 'python' "
+    "WHEN first_state LIKE 'php%' THEN 'php' "
+    "WHEN first_state LIKE 'go%' THEN 'go' "
+    "WHEN first_state LIKE 'ruby%' THEN 'ruby' "
+    "WHEN first_state LIKE 'dart%' THEN 'dart' END"
+)
+
+
+def pipeline_sql(n_convs: int, repeats: int = 1, languages=("all",),
+                 remove_tag_prefix: str | None = "conv",
+                 final_select: str | None = None) -> str:
+    """Full oracle for the exception pipeline (no limits / timeout: the
+    correctness-gate configuration)."""
+    rules = compile_rules(languages)
+    s1_rec = _first_match_case(rules, "s.state", "t2.text")
+    start_rec = _start_match_case(rules, "t2.text")
+    s1_base = _start_match_case(rules, "text")
+    first_base = _first_match_case(rules, q(START_STATE), "text")
+    import re as _re
+
+    out_tag = (
+        f"regexp_replace(conv_id, {q('^' + _re.escape(remove_tag_prefix) + chr(92) + '.')}, '')"
+        if remove_tag_prefix
+        else "conv_id"
+    )
+    final = final_select or f"""
+SELECT conv_id, first_turn_idx, role, tool, ts, text, n_lines,
+       {LANG_CASE} AS lang,
+       CASE WHEN {LANG_CASE} IS NOT NULL THEN 'lang_' || {LANG_CASE} ELSE 'passthrough' END AS sink,
+       {out_tag} AS out_tag
+FROM grouped"""
+    return f"""WITH RECURSIVE
+{transcripts_cte(n_convs, repeats)},
+scan AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+         ({first_base}) IS NOT NULL AS matched,
+         COALESCE({first_base}, {s1_base}) AS state
+  FROM t WHERE turn_idx = 0
+  UNION ALL
+  SELECT t2.conv_id, t2.turn_idx, t2.role, t2.tool, t2.ts, t2.text,
+         ({s1_rec}) IS NOT NULL AS matched,
+         COALESCE({s1_rec}, {start_rec}) AS state
+  FROM scan s JOIN t t2
+    ON t2.conv_id = s.conv_id AND t2.turn_idx = s.turn_idx + 1
+),
+statuses AS (
+  SELECT *,
+    CASE WHEN matched AND state <> 'start_state' THEN 'inside'
+         WHEN matched THEN 'end'
+         WHEN state <> 'start_state' THEN 'start'
+         ELSE 'no' END AS status
+  FROM scan
+),
+flags AS (
+  SELECT *,
+    CASE WHEN status IN ('no', 'start')
+           OR COALESCE(lag(status) OVER w, 'no') IN ('no', 'end')
+         THEN 1 ELSE 0 END AS flag
+  FROM statuses
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+segs AS (
+  SELECT *, sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seg
+  FROM flags
+),
+grouped AS (
+  SELECT conv_id,
+         CAST(min(turn_idx) AS BIGINT) AS first_turn_idx,
+         arg_min(role, turn_idx) AS role,
+         arg_min(tool, turn_idx) AS tool,
+         min(ts) AS ts,
+         string_agg(text, '' ORDER BY turn_idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         arg_min(state, turn_idx) AS first_state
+  FROM segs
+  GROUP BY conv_id, seg
+)
+{final}"""
+
+
+def sink_counts_sql(n_convs: int, repeats: int = 1) -> str:
+    return pipeline_sql(
+        n_convs,
+        repeats,
+        final_select=f"""
+SELECT CASE WHEN {LANG_CASE} IS NOT NULL THEN 'lang_' || {LANG_CASE} ELSE 'passthrough' END AS sink,
+       CAST(count(*) AS BIGINT) AS n
+FROM grouped GROUP BY 1""",
+    )
+
+
+def classify_start_sql(n_convs: int, repeats: int = 1) -> str:
+    """Per-line start-rule classification (O5 standalone): which language
+    family's start rule fires first in :all order."""
+    rules = compile_rules(("all",))
+    whens = []
+    for pid, tid in rules.by_state[0]:
+        fam = STATES[tid].split("_")[0]
+        fam = {"java": "java", "python": "python", "php": "php", "go": "go",
+               "ruby": "ruby", "dart": "dart"}[fam]
+        whens.append(
+            f"WHEN regexp_matches(text, {q(to_re2(rules.patterns[pid]))}) THEN {q(fam)}"
+        )
+    case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    return f"""WITH
+{transcripts_cte(n_convs, repeats)}
+SELECT conv_id, turn_idx, {case} AS start_lang FROM t"""
+
+
+def demux_counts_sql(n_convs: int, repeats: int = 1) -> str:
+    return f"""WITH
+{transcripts_cte(n_convs, repeats)}
+SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn
+FROM t GROUP BY conv_id, tool"""
+
+
+def tag_rewrite_sql(n_convs: int) -> str:
+    """O14 semantics matrix: strip only a complete leading part + dot."""
+    return f"""WITH
+{transcripts_cte(n_convs, 1)},
+tags AS (SELECT DISTINCT 'prefix.plus.' || conv_id AS tag FROM t)
+SELECT tag,
+       regexp_replace(tag, '^prefix\\.plus\\.', '') AS strip_full,
+       regexp_replace(tag, '^prefix\\.pl\\.', '') AS strip_partial,
+       regexp_replace(tag, '^does\\.not\\.occur\\.', '') AS strip_missing
+FROM tags"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline oracles (documents / embeddings testdata tables)
+# ---------------------------------------------------------------------------
+
+_MARKER_SQL = {
+    "en": r"\b(?:the|and|of|is)\b",
+    "fr": r"\b(?:le|la|et|les)\b",
+    "de": r"\b(?:der|und|die|nicht)\b",
+    "es": r"\b(?:el|que|los|una)\b",
+}
+
+
+def _cnt(lang: str) -> str:
+    return f"len(regexp_extract_all(lower(text), {q(_MARKER_SQL[lang])}))"
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1"""
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+FROM documents"""
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|is)\b')) AS BIGINT) AS n_stopwords,
+       CAST(floor(10.0 * length(text) /
+                  greatest(len(regexp_extract_all(text, '\S+')), 1)) AS BIGINT) AS tok_len_deci
+FROM documents"""
+
+
+def lang_id_doc_sql() -> str:
+    conds = []
+    langs = list(_MARKER_SQL)
+    for i, lang in enumerate(langs):
+        c = [f"{_cnt(lang)} > 0"]
+        for later in langs[i + 1 :]:
+            c.append(f"{_cnt(lang)} >= {_cnt(later)}")
+        conds.append(f"WHEN {' AND '.join(c)} THEN {q(lang)}")
+    return f"""
+SELECT doc_id, lang AS actual_lang,
+       CASE {' '.join(conds)} ELSE 'und' END AS pred_lang
+FROM documents"""
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents"""
+
+
+def _shingle_sql(k: int) -> str:
+    base = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return (
+        f"CASE WHEN length({base}) >= {k} THEN "
+        f"list_distinct(list_transform(range(0, length({base}) - {k} + 1), "
+        f"i -> substr({base}, i + 1, {k}))) "
+        f"ELSE [{base}] END"
+    )
+
+
+def _hash64_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_bands_sql(num_hashes: int = 8, band_size: int = 2, k: int = 5) -> str:
+    sigs = [
+        f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
+        for j in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        key_parts = " || ',' || ".join(
+            f"CAST(s{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key_parts}) AS band_key FROM sigs"
+        )
+    union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
+sigs AS (SELECT doc_id, {', '.join(sigs)} FROM sh),
+bands AS ({union})
+SELECT band_id, band_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM bands GROUP BY band_id, band_key HAVING count(*) > 1"""
+
+
+def embedding_topk_sql(k: int = 10) -> str:
+    dq = "list_transform((SELECT embedding FROM embeddings WHERE vec_id = 0), x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH q AS (SELECT {dq} AS qv),
+s AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+           / sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE))))
+           / sqrt(list_dot_product(qv, qv)) AS sim
+  FROM embeddings, q
+)
+SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""

@@ -1,0 +1,60 @@
+"""Simulates the driver's correctness gate: every queries() entry vs its
+oracle_sql() DuckDB equivalent at sf0.01 — row count, column names and
+order-insensitive value equality."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    vals = sorted(
+        (tuple(r[i] for i in order) for r in rows),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    return names, vals
+
+
+QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    oracle = entry_mod.oracle_sql()
+    assert name in oracle, f"{name} lacks an oracle_sql entry"
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.sql(oracle[name])
+    dcols = res.columns
+    drows = res.fetchall()
+    sn, sv = normalize(scols, srows)
+    dn, dv = normalize(dcols, drows)
+    assert sn == dn, f"column mismatch: spark={sn} duckdb={dn}"
+    assert len(sv) == len(dv), f"row count: spark={len(sv)} duckdb={len(dv)}"
+    assert sv == dv
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "sink" in df.columns and "text" in df.columns
