@@ -1,0 +1,139 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric mirrors BASELINE.md: grouped-exception throughput in
+turns/sec over a synthetic transcripts table (scenario mix + a skewed tail of
+long Java-trace conversations that exercises the salted chunking), plus the
+training-data ops over the sf-dir documents/embeddings tables.
+
+The transcripts are materialized to parquet first so the pipeline is timed
+against a real columnar scan (pruning + pushdown), not an in-memory range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("detect-exceptions-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, 2 * cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_detect_exceptions_spark.config import PipelineConfig
+    from fluent_plugin_detect_exceptions_spark.operators.dedup import lsh_candidate_buckets
+    from fluent_plugin_detect_exceptions_spark.operators.similarity import cosine_topk
+    from fluent_plugin_detect_exceptions_spark.functions import text as T
+    from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_with_counts
+    from fluent_plugin_detect_exceptions_spark.sources.transcripts import (
+        skewed_tail,
+        synth_transcripts,
+    )
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- materialize bench transcripts: scenario mix + skewed tail --------
+    n_convs = max(200, int(sf * 120_000))
+    skew_convs = max(2, int(sf * 40))
+    skew_turns = 50_000
+    tmp = tempfile.mkdtemp(prefix="bench_transcripts_")
+    tpath = f"{tmp}/transcripts.parquet"
+    t0 = time.perf_counter()
+    base = synth_transcripts(spark, n_convs, repeats=2)
+    tail = skewed_tail(spark, skew_convs, skew_turns)
+    base.unionByName(tail).repartition(max(8, 2 * cpus)).write.mode("overwrite").parquet(tpath)
+    gen_sec = time.perf_counter() - t0
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t, 3)
+        return out
+
+    # q1: flagship grouped-exception pipeline incl. salted skew handling
+    cfg = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048)
+    def run_pipeline():
+        routed, counts = detect_with_counts(transcripts, cfg)
+        routed = routed.persist()
+        n_routed = routed.count()
+        out = n_routed, {r["sink"]: r["n"] for r in counts.collect()}
+        routed.unpersist()
+        return out
+    (n_routed, counts_map) = timed("exception_pipeline", run_pipeline)
+
+    # q2: exact + minhash dedup over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_exact", lambda: docs.groupBy(F.md5("text")).count().count())
+    timed("minhash_lsh", lambda: lsh_candidate_buckets(docs).count())
+
+    # q3: text analysis sweep
+    timed(
+        "text_analysis",
+        lambda: docs.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("tok"),
+            T.lang_id(F.col("text")).alias("lang"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        ).count(),
+    )
+
+    # q4: embedding cosine top-k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    timed("embedding_topk", lambda: cosine_topk(emb, qv, 10).collect())
+
+    total = round(sum(timings.values()), 3)
+    turns_per_sec = round(n_turns / timings["exception_pipeline"], 1)
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+        "routed_records": n_routed,
+        "sink_counts": counts_map,
+        "gen_sec": round(gen_sec, 3),
+    }
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -76,8 +76,18 @@ def classify(texts: pd.Series, rules: CompiledRules):
     Returns ``(cls, G, B, absorbing)`` where ``cls`` is the per-line mask
     class (``NIL_CLS`` for nulls) and ``G``/``B``/``absorbing`` are indexed by
     class id.
+
+    Lines are interned first (``pd.factorize``): log streams repeat lines
+    heavily (identical stack frames, blank lines), so the ≤40-pattern regex
+    bank runs once per *distinct* line, not once per row.
     """
-    m = match_matrix(texts, rules)
+    codes, uniques = pd.factorize(texts, use_na_sentinel=True)
+    m = match_matrix(pd.Series(uniques, dtype=object), rules)
+    if len(m) == 0:
+        # all-null batch: keep one no-match class so downstream clip-indexing
+        # of the tables stays valid (every row is NIL_CLS anyway)
+        m = np.zeros((1, rules.n_patterns), dtype=bool)
+        codes = np.full(len(texts), -1, dtype=np.int64)
     uniq, inverse = np.unique(m, axis=0, return_inverse=True)
     k = len(uniq)
     g_tab = np.zeros((k, N_STATES), dtype=np.int8)
@@ -86,7 +96,6 @@ def classify(texts: pd.Series, rules: CompiledRules):
         g, b = _tables_for_mask(uniq[ki].tobytes(), uniq[ki], rules)
         g_tab[ki] = g
         b_tab[ki] = b
-    cls = inverse.astype(np.int32)
-    cls[texts.isna().to_numpy()] = NIL_CLS
-    absorbing = (g_tab == START).all(axis=1)
-    return cls, g_tab, b_tab, absorbing
+    per_unique = inverse.astype(np.int32)
+    cls = np.where(codes >= 0, per_unique[np.clip(codes, 0, None)], NIL_CLS).astype(np.int32)
+    return cls, g_tab, b_tab, (g_tab == START).all(axis=1)

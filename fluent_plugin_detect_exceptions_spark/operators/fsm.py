@@ -221,13 +221,49 @@ def scan(
 
 def last_absorbing(cls: np.ndarray, absorbing: np.ndarray) -> int:
     """Index of the last row whose line is universally absorbing (forces
-    start_state + empty buffer regardless of prior history), or -1.
-
-    Used to find synchronization points inside warm-up overlaps of salted
-    chunks: after such a row the scan is history-independent, so a chunk can
-    be processed exactly without knowing its true entry state.
-    """
+    start_state + empty buffer regardless of prior history), or -1."""
     nil = cls < 0
     ab = np.where(nil, True, absorbing[np.clip(cls, 0, None)])
     hits = np.flatnonzero(ab)
     return int(hits[-1]) if hits.size else -1
+
+
+def subset_sync(cls: np.ndarray, g_tab: np.ndarray) -> int:
+    """Last warm-up index after which the FSM state is provably start_state
+    (and hence the buffer empty) under EVERY possible history, or -1.
+
+    NFA-style subset simulation: track the set of reachable states assuming
+    (a) the entry state is unknown and (b) a forced flush+reset (timeout /
+    max_lines / max_bytes) may have occurred before ANY row — so start_state
+    is re-injected into the set at every step.  When the set collapses to
+    exactly {start_state} after row j, the scan from j+1 with entry=start and
+    an empty buffer is exact regardless of the true history: any status that
+    leaves state==start also empties the buffer (no_trace / end_trace both
+    flush — exception_detector.rb:335-356).
+
+    Single universally-absorbing lines rarely exist under languages=all
+    (python_code / dart_* states accept arbitrary lines), but 2-3 plain lines
+    in sequence collapse the set — which is why this runs over the whole
+    warm-up window.  Cost: O(warmup · |S|) with a tiny python loop over
+    warm-up rows only (never body rows).
+    """
+    n = len(cls)
+    n_states = g_tab.shape[1]
+    s = np.ones(n_states, dtype=bool)
+    last = -1
+    buf = np.zeros(n_states, dtype=bool)
+    for i in range(n):
+        c = cls[i]
+        if c < 0:
+            s[:] = False
+            s[START] = True
+            last = i
+            continue
+        s[START] = True  # a forced reset may precede any row
+        g = g_tab[c]
+        buf[:] = False
+        buf[g[s]] = True
+        s, buf = buf, s
+        if s[START] and s.sum() == 1:
+            last = i
+    return last

@@ -1,29 +1,32 @@
 """Distributed segmentation operator (SURVEY.md O3/O6/O8/O10/O11/O13/O18).
 
 Turns the transcripts DataFrame into per-row segmentation metadata with a
-bounded-shuffle plan:
+bounded-shuffle, skew-proof plan:
 
-1. **Salted chunking for skew** (north rule): conversations are split into
-   ``chunk_size``-turn chunks via ``chunk_id = turn_idx // C`` so a single
-   huge conversation spreads across executors.  Rows in each chunk-boundary
-   zone (the last ``warmup`` turns before a boundary) are duplicated into the
-   next chunk as warm-up via a JVM-side ``explode`` (single scan, no Python).
-2. **Synchronization**: a chunk's scan is exact despite the unknown FSM entry
-   state because the warm-up contains a *universally absorbing* line — one
-   that drives every state to start_state and empties the buffer regardless
-   of history (see ``fsm.last_absorbing``).  A cheap pre-pass over only the
-   boundary zones finds conversations with a non-absorbing warm-up (rare:
-   wall-to-wall stack traces); those are processed whole (chunk 0).
-3. **applyInPandas per (conv_id[, stream], chunk_id)**: sorts the group by
-   turn, classifies with the vectorized pattern bank, runs the windowed
-   FSM-composition scan, and emits per body row: ``seg_flag`` (start-of-block
-   flag), ``seg_start_turn`` (running-maximum of flagged turns — the
-   running-sum segment id in a chunk-stitchable form), ``emit`` and
-   ``lang_id``.
+1. **Salted chunking** (north rule): ``chunk_id = turn_idx div C`` spreads a
+   huge conversation across executors.  Rows in each chunk-boundary zone (the
+   last ``warmup`` turns before a boundary) are duplicated into the next
+   chunk as warm-up via a JVM-side ``explode`` — single scan, whole-stage
+   codegen, no Python.
+2. **Synchronization**: a chunk scan is exact despite its unknown FSM entry
+   state and unknown carried buffer because the warm-up contains a
+   *synchronization point* — a row after which subset simulation proves the
+   state is start_state and the buffer empty under every possible history
+   (``fsm.subset_sync``).  A cheap pre-pass over only the boundary zones
+   finds conversations with an unsynchronizable warm-up (wall-to-wall stack
+   traces); those are processed whole (chunk 0).
+3. **Partition-level scan**: ``repartition(conv, chunk)`` +
+   ``sortWithinPartitions(conv, chunk, turn)`` + ``mapInPandas``.  Each
+   partition is classified ONCE (pattern bank over pandas-interned distinct
+   lines — log data repeats lines heavily) and scanned ONCE: group runs are
+   gathered into a single contiguous array with forced resets at group
+   starts, so there is no per-group Python overhead and no per-row Python
+   anywhere (north rule).
 
-Segment identity is ``(conv_id, seg_start_turn)``: segments spanning chunk
-boundaries stitch automatically in the downstream groupBy, with no
-per-conversation window (which would re-serialize skewed conversations).
+Per-row outputs: ``seg_start_turn`` (the running-maximum-of-flagged-turns
+form of the running-sum segment id — stitches segments across chunk
+boundaries with no per-conversation window), ``seg_flag``, ``emit``,
+``lang_id``, ``sync_ok``.
 """
 
 from __future__ import annotations
@@ -31,13 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    BooleanType,
-    ByteType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import BooleanType, ByteType, LongType, StructField, StructType
 
 from ..config import PipelineConfig
 from ..functions.classify import classify
@@ -58,113 +55,176 @@ META_FIELDS = [
     StructField("sync_ok", BooleanType(), False),
 ]
 
+_TURN_OFFSET = np.int64(1) << 40  # group separator for the global cummax
 
-def _scan_pdf(pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules,
-              msg_field: str | None) -> pd.DataFrame:
-    """Segment one sorted (conv[, stream], chunk) group; returns body rows +
-    metadata columns."""
-    pdf = pdf.sort_values(cfg.order_col, kind="mergesort").reset_index(drop=True)
-    warm = pdf["__warmup"].to_numpy(dtype=bool) if "__warmup" in pdf else np.zeros(len(pdf), bool)
 
-    texts = pdf[msg_field] if msg_field is not None else pd.Series([None] * len(pdf), dtype=object)
-    cls, g_tab, b_tab, absorbing = classify(texts, rules)
-
-    sync_ok = True
-    start = 0
-    if warm.any():
-        nwarm = int(warm.sum())  # warm-up rows sort first (lower turn_idx)
-        j = fsm.last_absorbing(cls[:nwarm], absorbing)
-        if j < 0:
-            sync_ok = False  # defensive; the pre-pass routes these to chunk 0
-            start = nwarm
-        else:
-            start = j + 1
-
+def _scan_partition(
+    pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
+) -> pd.DataFrame:
+    """Classify + scan one sorted partition holding whole (conv[,stream],
+    chunk) groups; returns body rows plus metadata columns."""
     n = len(pdf)
-    sl = slice(start, n)
-    tvals = texts.iloc[sl]
-    rawlen = tvals.str.len().fillna(0).to_numpy(dtype=np.int64)
-    has_nl = tvals.str.contains("\n", regex=False).fillna(False).to_numpy(dtype=bool)
-    gap = np.zeros(n - start, dtype=bool)
-    if cfg.multiline_flush_interval is not None and n - start > 1:
-        tsv = pdf[cfg.ts_col].iloc[sl].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        gap[1:] = (tsv[1:] - tsv[:-1]) > cfg.multiline_flush_interval * 1_000_000
+    if n == 0:
+        out = pdf.copy()
+        for name, typ in (("seg_start_turn", "int64"), ("seg_flag", "bool"),
+                          ("emit", "bool"), ("lang_id", "int8"), ("sync_ok", "bool")):
+            out[name] = pd.Series([], dtype=typ)
+        return out.drop(columns=[c for c in ("__warmup",) if c in out.columns])
 
-    res = fsm.scan(
-        cls[sl], g_tab, b_tab, rawlen, has_nl, gap,
-        force_line_breaks=cfg.force_line_breaks,
-        max_lines=cfg.max_lines,
-        max_bytes=cfg.max_bytes,
-    )
+    warm = pdf["__warmup"].to_numpy(dtype=bool) if "__warmup" in pdf else np.zeros(n, bool)
+    texts = (
+        pdf[msg_field]
+        if msg_field is not None
+        else pd.Series([None] * n, dtype=object)
+    ).reset_index(drop=True)
+    cls, g_tab, b_tab, _ = classify(texts, rules)
 
-    turns = pdf[cfg.order_col].iloc[sl].to_numpy(dtype=np.int64)
-    seg_start_turn = np.maximum.accumulate(np.where(res.seg_start, turns, np.int64(-1)))
-    lang_id = STATE_FAMILY_ID[res.state_after]
+    # group boundaries: change in (conv[, stream], chunk)
+    keys = [pdf[cfg.conv_col].to_numpy()]
+    if cfg.stream is not None and cfg.stream in pdf.columns:
+        keys.append(pdf[cfg.stream].to_numpy())
+    keys.append(pdf["chunk_id"].to_numpy())
+    new_group = np.ones(n, dtype=bool)
+    if n > 1:
+        new_group[1:] = ~np.logical_and.reduce([k[1:] == k[:-1] for k in keys])
+    group_starts = np.flatnonzero(new_group)
+    group_ends = np.append(group_starts[1:], n)
 
-    out = pdf.iloc[sl].copy()
+    # per group: find the scan start (after the warm-up sync point)
+    scan_ranges = []
+    sync_ok = np.ones(n, dtype=bool)
+    for gs, ge in zip(group_starts, group_ends):
+        nwarm = int(warm[gs:ge].sum())  # warm-up rows sort first (lower turn)
+        if nwarm == 0:
+            scan_ranges.append((gs, ge))
+            continue
+        j = fsm.subset_sync(cls[gs : gs + nwarm], g_tab)
+        if j < 0:
+            # defensive: the pre-pass routes unsynchronizable convs to
+            # chunk 0; if one slips through, flag it (never emit bad data)
+            sync_ok[gs:ge] = False
+            scan_ranges.append((gs + nwarm, ge))
+        else:
+            scan_ranges.append((gs + j + 1, ge))
+
+    # gather scan ranges into one contiguous array; forced reset at each
+    # group's first scanned row makes one scan() call exact for all groups
+    idx = np.concatenate([np.arange(s, e) for s, e in scan_ranges if e > s]) if scan_ranges else np.empty(0, np.intp)
+    m = len(idx)
+    seg_start_turn = np.zeros(n, dtype=np.int64)
+    seg_flag = np.zeros(n, dtype=bool)
+    emit = np.ones(n, dtype=bool)
+    lang_id = np.full(n, -1, dtype=np.int8)
+
+    if m > 0:
+        first_of_group = np.zeros(m, dtype=bool)
+        pos = 0
+        gidx = np.zeros(m, dtype=np.int64)
+        for gnum, (s, e) in enumerate(sr for sr in scan_ranges if sr[1] > sr[0]):
+            ln = e - s
+            first_of_group[pos] = True
+            gidx[pos : pos + ln] = gnum
+            pos += ln
+
+        tv = texts.iloc[idx]
+        rawlen = tv.str.len().fillna(0).to_numpy(dtype=np.int64)
+        has_nl = tv.str.contains("\n", regex=False).fillna(False).to_numpy(dtype=bool)
+        gap = np.zeros(m, dtype=bool)
+        if cfg.multiline_flush_interval is not None and m > 1:
+            tsv = pdf[cfg.ts_col].iloc[idx].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            gap[1:] = (tsv[1:] - tsv[:-1]) > cfg.multiline_flush_interval * 1_000_000
+            gap[first_of_group] = False
+        gap |= first_of_group  # hard reset + buffer clear at each group start
+
+        res = fsm.scan(
+            cls[idx], g_tab, b_tab, rawlen, has_nl, gap,
+            force_line_breaks=cfg.force_line_breaks,
+            max_lines=cfg.max_lines,
+            max_bytes=cfg.max_bytes,
+        )
+
+        turns = pdf[cfg.order_col].to_numpy(dtype=np.int64)[idx]
+        adj = turns + gidx * _TURN_OFFSET
+        sst = np.maximum.accumulate(np.where(res.seg_start, adj, np.int64(-1)))
+        sst -= gidx * _TURN_OFFSET
+
+        seg_start_turn[idx] = sst
+        seg_flag[idx] = res.seg_start
+        emit[idx] = res.emit
+        lang_id[idx] = STATE_FAMILY_ID[res.state_after]
+
+    out = pdf.copy()
     out["seg_start_turn"] = seg_start_turn
-    out["seg_flag"] = res.seg_start
-    out["emit"] = res.emit
+    out["seg_flag"] = seg_flag
+    out["emit"] = emit
     out["lang_id"] = lang_id
     out["sync_ok"] = sync_ok
-    body = ~warm[sl]
-    out = out[body]
+    out = out[~warm]
     return out.drop(columns=[c for c in ("__warmup",) if c in out.columns])
 
 
 def _with_chunks(df: DataFrame, cfg: PipelineConfig, fallback_convs) -> DataFrame:
-    """Add chunk_id / __warmup via a single-pass JVM-side explode (no extra
-    scan, stays inside whole-stage codegen)."""
+    """Add chunk_id / __warmup via a single-pass JVM-side explode (stays
+    inside whole-stage codegen, no second scan of the source)."""
     c, o = cfg.chunk_size, cfg.warmup
     turn = F.col(cfg.order_col)
     in_zone = (turn % c) >= (c - o)
     if fallback_convs:
-        is_fb = F.col(cfg.conv_col).isin(list(fallback_convs))
-        in_zone = in_zone & ~is_fb
+        in_zone = in_zone & ~F.col(cfg.conv_col).isin(list(fallback_convs))
     dup = F.when(in_zone, F.array(F.lit(0), F.lit(1))).otherwise(F.array(F.lit(0)))
     df = df.withColumn("__d", F.explode(dup))
     chunk = F.expr(f"{cfg.order_col} div {c}") + F.col("__d")
     if fallback_convs:
-        chunk = F.when(F.col(cfg.conv_col).isin(list(fallback_convs)), F.lit(0)).otherwise(chunk)
+        chunk = F.when(
+            F.col(cfg.conv_col).isin(list(fallback_convs)), F.lit(0)
+        ).otherwise(chunk)
     return (
-        df.withColumn("chunk_id", chunk)
+        df.withColumn("chunk_id", chunk.cast("long"))
         .withColumn("__warmup", F.col("__d") == 1)
         .drop("__d")
     )
 
 
-def find_fallback_convs(df: DataFrame, cfg: PipelineConfig, rules: CompiledRules,
-                        msg_field: str | None) -> list:
+def find_fallback_convs(
+    df: DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
+) -> list:
     """Pre-pass over chunk-boundary zones only: conversations whose warm-up
-    zone for some chunk contains no universally absorbing line cannot be
-    chunk-scanned exactly and are processed whole.  Cheap: touches only
-    ``warmup/chunk_size`` of the rows, column-pruned to (conv, turn, text)."""
+    zone for some chunk has no synchronization point cannot be chunk-scanned
+    exactly and are processed whole.  Touches only ``warmup/chunk_size`` of
+    the rows, column-pruned to (conv, turn, text)."""
     if msg_field is None:
         return []
     c, o = cfg.chunk_size, cfg.warmup
     zone = df.filter((F.col(cfg.order_col) % c) >= (c - o)).select(
         F.col(cfg.conv_col).alias("conv"),
         F.expr(f"{cfg.order_col} div {c}").cast("long").alias("zchunk"),
+        F.col(cfg.order_col).alias("turn"),
         F.col(msg_field).alias("msg"),
     )
 
-    out_schema = StructType([
-        StructField("conv", zone.schema["conv"].dataType, False),
-        StructField("zchunk", LongType(), False),
-        StructField("ab", BooleanType(), False),
-    ])
+    out_schema = StructType(
+        [
+            StructField("conv", zone.schema["conv"].dataType, False),
+            StructField("zchunk", LongType(), False),
+            StructField("synced", BooleanType(), False),
+        ]
+    )
 
-    def check(batches):
-        for pdf in batches:
-            clsb, g_tab, _, absorbing = classify(pdf["msg"], rules)
-            ab = np.where(clsb < 0, True, absorbing[np.clip(clsb, 0, None)])
-            yield pd.DataFrame({"conv": pdf["conv"], "zchunk": pdf["zchunk"], "ab": ab})
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn", kind="mergesort").reset_index(drop=True)
+        cls, g_tab, _, _ = classify(pdf["msg"], rules)
+        return pd.DataFrame(
+            {
+                "conv": pdf["conv"].iloc[:1],
+                "zchunk": pdf["zchunk"].iloc[:1],
+                "synced": [fsm.subset_sync(cls, g_tab) >= 0],
+            }
+        )
 
     bad = (
-        zone.mapInPandas(check, schema=out_schema)
-        .groupBy("conv", "zchunk")
-        .agg(F.max("ab").alias("any_ab"))
-        .filter(~F.col("any_ab"))
+        zone.groupBy("conv", "zchunk")
+        .applyInPandas(check, schema=out_schema)
+        .filter(~F.col("synced"))
         .select("conv")
         .distinct()
         .limit(cfg.max_fallback_convs + 1)
@@ -173,7 +233,9 @@ def find_fallback_convs(df: DataFrame, cfg: PipelineConfig, rules: CompiledRules
     return [r["conv"] for r in bad]
 
 
-def segment(df: DataFrame, cfg: PipelineConfig, rules: CompiledRules | None = None) -> DataFrame:
+def segment(
+    df: DataFrame, cfg: PipelineConfig, rules: CompiledRules | None = None
+) -> DataFrame:
     """Full segmentation: returns the input rows (body only) plus metadata
     columns (seg_start_turn, seg_flag, emit, lang_id, sync_ok)."""
     rules = rules or compile_rules(cfg.languages)
@@ -188,7 +250,6 @@ def segment(df: DataFrame, cfg: PipelineConfig, rules: CompiledRules | None = No
             f"input schema {df.columns} lacks {cfg.conv_col!r}/{cfg.order_col!r}"
         )
 
-    group_keys = cfg.group_keys()
     if cfg.chunking_active:
         fallback = find_fallback_convs(df, cfg, rules, msg_field)
         if len(fallback) > cfg.max_fallback_convs:
@@ -197,15 +258,24 @@ def segment(df: DataFrame, cfg: PipelineConfig, rules: CompiledRules | None = No
             df = df.withColumn("chunk_id", F.lit(0)).withColumn("__warmup", F.lit(False))
         else:
             df = _with_chunks(df, cfg, fallback)
-        group_keys = group_keys + ["chunk_id"]
     else:
         df = df.withColumn("chunk_id", F.lit(0)).withColumn("__warmup", F.lit(False))
 
+    group_cols = cfg.group_keys() + ["chunk_id"]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != "__warmup"] + META_FIELDS
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _scan_pdf(pdf, cfg, rules, msg_field)
+    def run(batches):
+        # one partition may arrive as several Arrow batches and a group may
+        # span them — concatenate so each (conv, chunk) group scans whole.
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        yield _scan_partition(pdf, cfg, rules, msg_field)
 
-    return df.groupBy(*group_keys).applyInPandas(run, schema=out_schema)
+    sorted_df = df.repartition(*group_cols).sortWithinPartitions(
+        *group_cols, cfg.order_col
+    )
+    return sorted_df.mapInPandas(run, schema=out_schema)

@@ -102,6 +102,31 @@ def local_rows(n_convs: int, repeats: int = 1) -> list[dict]:
     return out
 
 
+def skewed_tail(spark: SparkSession, n_convs: int, turns_per_conv: int) -> DataFrame:
+    """Skew-tail conversations (FIXTURES.md §4): very long conversations of
+    repeated Java traces (mirroring bench_exception_detector.rb:50-53) with a
+    plain line between repetitions so chunk scans can synchronize."""
+    block = fx.lines(fx.JAVA_EXC) + ["no trace here\n"]
+    lines_df = spark.createDataFrame(
+        [(i, line) for i, line in enumerate(block)], "off int, text string"
+    )
+    n = len(block)
+    return (
+        spark.range(n_convs)
+        .select(F.col("id").alias("c"))
+        .join(spark.range(turns_per_conv).select(F.col("id").alias("t")))
+        .join(F.broadcast(lines_df), F.col("off") == (F.col("t") % n))
+        .select(
+            F.format_string("skew.%04d", F.col("c")).alias("conv_id"),
+            F.col("t").cast("int").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.col("text"),
+            F.lit("tool0").alias("tool"),
+            F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("t")).alias("ts"),
+        )
+    )
+
+
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     """Iceberg table name (dotted, no slash) or parquet path/glob."""
     if "/" in source or source.endswith(".parquet"):

@@ -209,3 +209,43 @@ def test_field_learning(spark):
     cfg = PipelineConfig(message="")
     rows = local_rows(4, 1)
     assert spark_routed(df, cfg) == oracle_routed(group_rows(rows, PipelineConfig()), PipelineConfig())
+
+
+def test_pure_trace_conv_falls_back_and_stays_exact(spark):
+    # wall-to-wall Java traces, no plain lines: no sync point exists, the
+    # pre-pass must route the conversation to whole-conv processing and the
+    # result must still match the oracle
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import (
+        find_fallback_convs,
+    )
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+
+    lines = fx.lines(fx.JAVA_EXC) * 30
+    rows = [
+        {"conv_id": "pure", "turn_idx": i, "role": "u", "text": t, "tool": "t",
+         "ts": BASE_EPOCH + i}
+        for i, t in enumerate(lines)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    cfg = PipelineConfig(chunk_size=32, warmup=16)
+    fb = find_fallback_convs(df, cfg, compile_rules(cfg.languages), "text")
+    assert fb == ["pure"]
+    got = spark_routed(df, cfg)
+    assert got == oracle_routed(group_rows(rows, cfg), cfg)
+    assert len(got) == 30  # each repeated trace start_trace-splits
+
+
+def test_skew_tail_chunks_without_fallback(spark):
+    # the bench skew shape (traces + a plain line) must synchronize: salted
+    # chunking stays active and matches the unchunked result
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import (
+        find_fallback_convs,
+    )
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+    from fluent_plugin_detect_exceptions_spark.sources.transcripts import skewed_tail
+
+    df = skewed_tail(spark, 2, 400)
+    cfg = PipelineConfig(chunk_size=64, warmup=32)
+    fb = find_fallback_convs(df, cfg, compile_rules(cfg.languages), "text")
+    assert fb == []
+    assert spark_routed(df, cfg) == spark_routed(df, PipelineConfig(chunk_size=0))
