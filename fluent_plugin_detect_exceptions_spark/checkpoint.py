@@ -1,0 +1,57 @@
+"""Bucket-manifest checkpointing for resumable batch runs (north rule).
+
+The job hash-partitions the conversation key space into ``n_buckets`` and
+processes one bucket per step: filter → pipeline → write
+``out/bucket=K/sink=.../*.parquet`` → append a manifest entry.  A restarted
+run reads the manifest and skips completed buckets, so a failure mid-run
+loses at most one bucket of work.  Correctness is unaffected by bucketing:
+conversations are hash-disjoint across buckets, and the pipeline is
+conversation-local by construction.
+
+The manifest is a JSONL file (one entry per completed bucket, written after
+the bucket's output is durable).  A crashed bucket leaves a partial
+``bucket=K`` directory that the retry overwrites (dynamic partition
+overwrite semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class BucketManifest:
+    path: str
+
+    def _file(self) -> str:
+        return os.path.join(self.path, "manifest.jsonl")
+
+    def completed(self) -> dict[int, dict]:
+        done: dict[int, dict] = {}
+        try:
+            with open(self._file()) as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        done[int(e["bucket"])] = e
+        except FileNotFoundError:
+            pass
+        return done
+
+    def mark_done(self, bucket: int, info: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        entry = dict(info, bucket=bucket)
+        # append + flush + fsync: the entry is durable before the next bucket
+        with open(self._file(), "a") as f:
+            f.write(json.dumps(entry, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def bucket_of(conv_col: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    # crc32 is stable across Spark versions/JVMs (unlike hash() seeds)
+    return F.pmod(F.crc32(F.col(conv_col).cast("binary")), F.lit(n_buckets)).cast("int")

@@ -52,6 +52,11 @@ class PipelineConfig:
     #: cap on the driver-side fallback list of unsynchronizable
     #: conversations before chunking is disabled for the run.
     max_fallback_convs: int = 10_000
+    #: coalesce segments inside the scan stage (emit per-segment partials;
+    #: the downstream groupBy only stitches chunk-spanning segments).  Cuts
+    #: the second shuffle from per-row to per-segment volume.  The per-row
+    #: path (False) is kept for window-based segment-id derivations/tests.
+    fuse_coalesce: bool = True
 
     def __post_init__(self):
         langs = tuple(str(x).lower() for x in self.languages)

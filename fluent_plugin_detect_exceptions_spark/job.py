@@ -1,0 +1,144 @@
+"""spark-submit entry point: resumable detect-exceptions batch job.
+
+Usage (cluster):
+
+    python scripts/make_pyfiles.py   # -> dist/fluent_plugin_detect_exceptions_spark.zip
+    spark-submit \\
+        --py-files dist/fluent_plugin_detect_exceptions_spark.zip \\
+        -m fluent_plugin_detect_exceptions_spark.job -- \\
+        --input s3://bucket/transcripts/ --output s3://bucket/routed/ \\
+        --checkpoint-dir s3://bucket/_ckpt --buckets 64 --languages all
+
+or locally:
+
+    python -m fluent_plugin_detect_exceptions_spark.job \\
+        --input /tmp/transcripts.parquet --output /tmp/routed --buckets 4
+
+Processes the conversation key space bucket by bucket (checkpoint.py);
+each bucket writes routed records fanned out by sink, per-sink counts, input
+lineage and per-partition metrics, then appends a manifest entry.  Re-running
+the same command resumes after the last durable bucket.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+
+from pyspark.sql import SparkSession, functions as F
+
+from .checkpoint import BucketManifest, bucket_of
+from .config import PipelineConfig
+from .metrics import input_lineage, partition_metrics, write_run_metadata
+from .operators.coalesce import coalesce_partials, coalesce_segments
+from .operators.route import sink_counts, with_out_tag, with_sink
+from .operators.segmenter import segment
+from .rules import compile_rules
+from .sources.transcripts import read_transcripts
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="detect-exceptions batch pipeline")
+    p.add_argument("--input", required=True, help="parquet path or Iceberg table")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None, help="manifest dir (default <output>/_checkpoint)")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--languages", default="all", help="comma-separated")
+    p.add_argument("--message", default="text")
+    p.add_argument("--stream", default=None)
+    p.add_argument("--remove-tag-prefix", default=None)
+    p.add_argument("--max-lines", type=int, default=1000)
+    p.add_argument("--max-bytes", type=int, default=0)
+    p.add_argument("--multiline-flush-interval", type=float, default=None)
+    p.add_argument("--force-line-breaks", action="store_true")
+    p.add_argument("--chunk-size", type=int, default=1 << 17)
+    p.add_argument("--warmup", type=int, default=4096)
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace) -> PipelineConfig:
+    return PipelineConfig(
+        remove_tag_prefix=args.remove_tag_prefix,
+        message=args.message,
+        multiline_flush_interval=args.multiline_flush_interval,
+        languages=tuple(x for x in args.languages.split(",") if x),
+        force_line_breaks=args.force_line_breaks,
+        max_lines=args.max_lines,
+        max_bytes=args.max_bytes,
+        stream=args.stream,
+        chunk_size=args.chunk_size,
+        warmup=args.warmup,
+    )
+
+
+def run_bucket(spark, df, cfg, rules, out_dir: str, bucket: int) -> dict:
+    t0 = time.perf_counter()
+    seg = segment(df, cfg, rules)
+    msg_field = cfg.resolve_message_field(df.columns)
+    coalesce = coalesce_partials if cfg.fuse_coalesce else coalesce_segments
+    routed = with_sink(with_out_tag(coalesce(seg, cfg, msg_field), cfg))
+    routed = routed.persist()
+    try:
+        n_routed = routed.count()
+        routed.write.mode("overwrite").partitionBy("sink").parquet(
+            f"{out_dir}/routed/bucket={bucket}"
+        )
+        counts = {r["sink"]: r["n"] for r in sink_counts(routed).collect()}
+    finally:
+        routed.unpersist()
+    # lineage + metrics (cheap second pass over this bucket's slice)
+    input_lineage(df).write.mode("overwrite").parquet(
+        f"{out_dir}/lineage/bucket={bucket}"
+    )
+    partition_metrics(segment(df, cfg, rules)).write.mode("overwrite").parquet(
+        f"{out_dir}/metrics/bucket={bucket}"
+    )
+    return {
+        "rows_out": n_routed,
+        "sink_counts": counts,
+        "seconds": round(time.perf_counter() - t0, 3),
+    }
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    spark = (
+        SparkSession.builder.appName("detect-exceptions")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .getOrCreate()
+    )
+    cfg = build_config(args)
+    rules = compile_rules(cfg.languages)
+    ckpt_dir = args.checkpoint_dir or f"{args.output}/_checkpoint"
+    manifest = BucketManifest(ckpt_dir)
+    done = manifest.completed()
+    run_id = uuid.uuid4().hex[:12]
+
+    src = read_transcripts(spark, args.input)
+    src = src.withColumn("__bucket", bucket_of(cfg.conv_col, args.buckets))
+
+    totals: dict[str, int] = {}
+    for b in range(args.buckets):
+        if b in done:
+            continue
+        info = run_bucket(
+            spark, src.filter(F.col("__bucket") == b).drop("__bucket"),
+            cfg, rules, args.output, b,
+        )
+        manifest.mark_done(b, dict(info, run_id=run_id))
+        for k, v in info["sink_counts"].items():
+            totals[k] = totals.get(k, 0) + v
+
+    write_run_metadata(
+        ckpt_dir, run_id,
+        {"buckets": args.buckets, "resumed_from": len(done), "sink_totals": totals},
+    )
+    print({"run_id": run_id, "completed_buckets": args.buckets, "sink_totals": totals})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

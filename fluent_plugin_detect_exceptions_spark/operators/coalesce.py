@@ -26,6 +26,47 @@ from ..rules import FAMILIES
 META_COLS = ("seg_start_turn", "seg_flag", "emit", "lang_id", "sync_ok", "chunk_id")
 
 
+def coalesce_partials(partials: DataFrame, cfg: PipelineConfig, msg_field: str | None = "text") -> DataFrame:
+    """Stitch fused-mode segment partials (one row per segment per chunk)
+    into final records.  Almost every segment has exactly one partial; only
+    chunk-spanning segments aggregate >1, so this groupBy moves per-segment
+    volume, not per-turn volume."""
+    keys = cfg.group_keys() + ["seg_start_turn"]
+    ride = [c for c in partials.columns
+            if c not in (*keys, "part_min_turn", "n_part", "text_part", "lang_id", "sync_ok")]
+    agg = partials.groupBy(*keys).agg(
+        F.sum("n_part").alias("n_lines"),
+        F.min_by(F.struct(*ride, "lang_id", "text_part"), F.col("part_min_turn")).alias("__first"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("part_min_turn", "text_part"))),
+                lambda x: x["text_part"],
+            ),
+            "",
+        ).alias("__combined"),
+        F.min("sync_ok").alias("sync_ok"),
+    )
+    first = F.col("__first")
+    lang = F.when(
+        first["lang_id"] >= 0,
+        F.element_at(F.array(*[F.lit(x) for x in FAMILIES]), (first["lang_id"] + 1).cast("int")),
+    )
+    sel = [F.col(k) for k in cfg.group_keys()]
+    sel.append(F.col("seg_start_turn").alias("first_turn_idx"))
+    for c in ride:
+        sel.append(first[c].alias(c))
+    if msg_field is not None:
+        sel.append(
+            F.when(F.col("n_lines") == 1, first["text_part"])
+            .otherwise(F.col("__combined"))
+            .alias(msg_field)
+        )
+    sel.append(F.col("n_lines"))
+    sel.append(lang.alias("lang"))
+    sel.append(F.col("sync_ok"))
+    return agg.select(*sel)
+
+
 def coalesce_segments(seg: DataFrame, cfg: PipelineConfig, msg_field: str | None = "text") -> DataFrame:
     """seg: output of ``segmenter.segment``.  Returns one row per emitted
     record with first-row fields, combined text, n_lines and lang."""

@@ -45,11 +45,24 @@ WINDOW = 8192
 
 
 @dataclass
+class ScanCarry:
+    """FSM + buffer state at a scan boundary (used by the streaming path to
+    persist per-conversation state across micro-batches)."""
+
+    state: int = START
+    open: bool = False
+    count: int = 0
+    bytes: int = 0
+    prev_status: int = NO_TRACE
+
+
+@dataclass
 class ScanResult:
     status: np.ndarray      # int8, one of the four statuses
     state_after: np.ndarray  # int8 FSM state after the row
     seg_start: np.ndarray   # bool, start-of-block flag
     emit: np.ndarray        # bool, False only for dropped nil-message rows
+    carry: ScanCarry | None = None  # state after the last row
 
 
 def _compose_scan(gw: np.ndarray) -> np.ndarray:
@@ -75,31 +88,34 @@ def scan(
     force_line_breaks: bool = False,
     max_lines: int = 0,
     max_bytes: int = 0,
+    entry_carry: ScanCarry | None = None,
 ) -> ScanResult:
     """Scan one ordered stream (rows pre-sorted by turn order).
 
     ``cls`` uses ``NIL_CLS``(-1) for null messages; ``gap_reset[i]`` marks
     rows preceded by an event-time gap exceeding the flush interval.
-    Entry state is start_state with an empty buffer (callers start scans at
-    conversation starts or at synchronization points, where this holds).
+    Default entry is start_state with an empty buffer (batch callers start
+    scans at conversation starts or synchronization points, where this
+    holds); the streaming path passes the previous micro-batch's carry.
     """
     n = len(cls)
     status = np.zeros(n, dtype=np.int8)
     state_after = np.zeros(n, dtype=np.int8)
     seg_start = np.zeros(n, dtype=bool)
     emit = np.ones(n, dtype=bool)
+    ec = entry_carry or ScanCarry()
     if n == 0:
-        return ScanResult(status, state_after, seg_start, emit)
+        return ScanResult(status, state_after, seg_start, emit, ScanCarry(**vars(ec)))
 
     nil = cls < 0
     forced = gap_reset.astype(bool).copy()  # repair loop adds entries
 
     pos = 0
-    entry = START
-    carry_count = 0          # messages in the open buffer before `pos`
-    carry_bytes = 0
-    carry_prev_status = NO_TRACE  # empty buffer at stream start behaves alike
-    carry_open = False
+    entry = ec.state
+    carry_count = ec.count   # messages in the open buffer before `pos`
+    carry_bytes = ec.bytes
+    carry_prev_status = ec.prev_status
+    carry_open = ec.open
 
     while pos < n:
         end = min(n, pos + WINDOW)
@@ -207,16 +223,29 @@ def scan(
             carry_open = bool(open_after[commit - 1])
             carry_count = int(count_after[commit - 1]) if carry_open else 0
             carry_bytes = int(bytes_after[commit - 1]) if carry_open else 0
-        if q is not None and pos + q < n:
-            # forced flush + reset at absolute position pos+q; if it falls
-            # inside this window we rescan from it, otherwise the next
-            # window's first row picks it up (fr overrides the stale open-
-            # buffer carries: r/s_prev/be_before all honor `forced`).
-            forced[pos + q] = True
+        pending_reset = False
+        if q is not None:
+            if pos + q < n:
+                # forced flush + reset at absolute position pos+q; if it
+                # falls inside this window we rescan from it, otherwise the
+                # next window's first row picks it up (fr overrides the stale
+                # open-buffer carries: r/s_prev/be_before all honor `forced`).
+                forced[pos + q] = True
+            else:
+                pending_reset = True  # violation effect lands after the data
         pos += commit
 
-    seg_start[0] = True
-    return ScanResult(status, state_after, seg_start, emit)
+    if pending_reset:
+        entry, carry_open, carry_count, carry_bytes = START, False, 0, 0
+        carry_prev_status = NO_TRACE
+    out_carry = ScanCarry(
+        state=entry,
+        open=carry_open,
+        count=carry_count,
+        bytes=carry_bytes,
+        prev_status=carry_prev_status,
+    )
+    return ScanResult(status, state_after, seg_start, emit, out_carry)
 
 
 def last_absorbing(cls: np.ndarray, absorbing: np.ndarray) -> int:
@@ -249,21 +278,33 @@ def subset_sync(cls: np.ndarray, g_tab: np.ndarray) -> int:
     """
     n = len(cls)
     n_states = g_tab.shape[1]
-    s = np.ones(n_states, dtype=bool)
+    start_bit = 1 << START
+    full = (1 << n_states) - 1
+    # per-class target list for bit iteration
+    glist = g_tab.tolist()
+    memo: dict[tuple[int, int], int] = {}
+    s_mask = full
     last = -1
-    buf = np.zeros(n_states, dtype=bool)
     for i in range(n):
-        c = cls[i]
+        c = int(cls[i])
         if c < 0:
-            s[:] = False
-            s[START] = True
+            s_mask = start_bit
             last = i
             continue
-        s[START] = True  # a forced reset may precede any row
-        g = g_tab[c]
-        buf[:] = False
-        buf[g[s]] = True
-        s, buf = buf, s
-        if s[START] and s.sum() == 1:
+        key = (c, s_mask)
+        nxt = memo.get(key)
+        if nxt is None:
+            m = s_mask | start_bit  # a forced reset may precede any row
+            g = glist[c]
+            nxt = 0
+            b = 0
+            while m:
+                if m & 1:
+                    nxt |= 1 << g[b]
+                m >>= 1
+                b += 1
+            memo[key] = nxt
+        s_mask = nxt
+        if s_mask == start_bit:
             last = i
     return last

@@ -34,7 +34,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BooleanType, ByteType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..config import PipelineConfig
 from ..functions.classify import classify
@@ -58,19 +65,57 @@ META_FIELDS = [
 _TURN_OFFSET = np.int64(1) << 40  # group separator for the global cummax
 
 
-def _scan_partition(
-    pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
-) -> pd.DataFrame:
-    """Classify + scan one sorted partition holding whole (conv[,stream],
-    chunk) groups; returns body rows plus metadata columns."""
-    n = len(pdf)
-    if n == 0:
-        out = pdf.copy()
-        for name, typ in (("seg_start_turn", "int64"), ("seg_flag", "bool"),
-                          ("emit", "bool"), ("lang_id", "int8"), ("sync_ok", "bool")):
-            out[name] = pd.Series([], dtype=typ)
-        return out.drop(columns=[c for c in ("__warmup",) if c in out.columns])
+def ride_along_cols(df_columns, cfg: PipelineConfig, msg_field: str | None) -> list[str]:
+    """Columns that ride along unchanged (first-row semantics at flush)."""
+    skip = {cfg.conv_col, cfg.order_col, "chunk_id", "__warmup"}
+    if cfg.stream is not None:
+        skip.add(cfg.stream)
+    if msg_field is not None:
+        skip.add(msg_field)
+    return [c for c in df_columns if c not in skip]
 
+
+def partial_schema(df_schema: StructType, cfg: PipelineConfig, msg_field: str | None) -> StructType:
+    """Output schema of the fused scan+coalesce stage: one row per segment
+    *partial* (a segment's rows within one chunk)."""
+    cols = [f.name for f in df_schema.fields]
+    fields = [df_schema[cfg.conv_col]]
+    if cfg.stream is not None:
+        fields.append(df_schema[cfg.stream])
+    fields += [
+        StructField("seg_start_turn", LongType(), False),
+        StructField("part_min_turn", LongType(), False),
+        StructField("n_part", LongType(), False),
+        StructField("text_part", StringType(), True),
+        StructField("lang_id", ByteType(), False),
+        StructField("sync_ok", BooleanType(), False),
+    ]
+    fields += [df_schema[c] for c in ride_along_cols(cols, cfg, msg_field)]
+    return StructType(fields)
+
+
+def _empty_partials(pdf: pd.DataFrame, cfg: PipelineConfig, msg_field: str | None) -> pd.DataFrame:
+    cols = {cfg.conv_col: pdf[cfg.conv_col].iloc[:0]}
+    if cfg.stream is not None:
+        cols[cfg.stream] = pdf[cfg.stream].iloc[:0]
+    for name, typ in (("seg_start_turn", "int64"), ("part_min_turn", "int64"),
+                      ("n_part", "int64")):
+        cols[name] = pd.Series([], dtype=typ)
+    cols["text_part"] = pd.Series([], dtype=object)
+    cols["lang_id"] = pd.Series([], dtype="int8")
+    cols["sync_ok"] = pd.Series([], dtype=bool)
+    for c in ride_along_cols(pdf.columns, cfg, msg_field):
+        cols[c] = pdf[c].iloc[:0]
+    return pd.DataFrame(cols)
+
+
+def _scan_core(pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules,
+               msg_field: str | None):
+    """Classify + scan one sorted partition holding whole (conv[,stream],
+    chunk) groups.  Returns (warm, texts, sync_ok, gathered) where gathered
+    is None for empty scans or a dict of aligned arrays over the scanned
+    row indices."""
+    n = len(pdf)
     warm = pdf["__warmup"].to_numpy(dtype=bool) if "__warmup" in pdf else np.zeros(n, bool)
     texts = (
         pdf[msg_field]
@@ -111,47 +156,75 @@ def _scan_partition(
     # group's first scanned row makes one scan() call exact for all groups
     idx = np.concatenate([np.arange(s, e) for s, e in scan_ranges if e > s]) if scan_ranges else np.empty(0, np.intp)
     m = len(idx)
+    if m == 0:
+        return warm, texts, sync_ok, None
+
+    first_of_group = np.zeros(m, dtype=bool)
+    pos = 0
+    gidx = np.zeros(m, dtype=np.int64)
+    for _gnum, (s, e) in enumerate(sr for sr in scan_ranges if sr[1] > sr[0]):
+        ln = e - s
+        first_of_group[pos] = True
+        gidx[pos : pos + ln] = _gnum
+        pos += ln
+
+    tv = texts.iloc[idx]
+    rawlen = tv.str.len().fillna(0).to_numpy(dtype=np.int64)
+    has_nl = tv.str.contains("\n", regex=False).fillna(False).to_numpy(dtype=bool)
+    gap = np.zeros(m, dtype=bool)
+    if cfg.multiline_flush_interval is not None and m > 1:
+        tsg = pdf[cfg.ts_col].iloc[idx].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gap[1:] = (tsg[1:] - tsg[:-1]) > cfg.multiline_flush_interval * 1_000_000
+        gap[first_of_group] = False
+    gap |= first_of_group  # hard reset + buffer clear at each group start
+
+    res = fsm.scan(
+        cls[idx], g_tab, b_tab, rawlen, has_nl, gap,
+        force_line_breaks=cfg.force_line_breaks,
+        max_lines=cfg.max_lines,
+        max_bytes=cfg.max_bytes,
+    )
+
+    turns = pdf[cfg.order_col].to_numpy(dtype=np.int64)[idx]
+    adj = turns + gidx * _TURN_OFFSET
+    sst = np.maximum.accumulate(np.where(res.seg_start, adj, np.int64(-1)))
+    sst -= gidx * _TURN_OFFSET
+
+    gathered = {
+        "idx": idx,
+        "gidx": gidx,
+        "res": res,
+        "sst": sst,
+        "turns": turns,
+        "has_nl": has_nl,
+        "lang": STATE_FAMILY_ID[res.state_after],
+    }
+    return warm, texts, sync_ok, gathered
+
+
+def _scan_partition(
+    pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
+) -> pd.DataFrame:
+    """Per-row output mode: body rows plus metadata columns."""
+    n = len(pdf)
+    if n == 0:
+        out = pdf.copy()
+        for name, typ in (("seg_start_turn", "int64"), ("seg_flag", "bool"),
+                          ("emit", "bool"), ("lang_id", "int8"), ("sync_ok", "bool")):
+            out[name] = pd.Series([], dtype=typ)
+        return out.drop(columns=[c for c in ("__warmup",) if c in out.columns])
+
+    warm, _texts, sync_ok, g = _scan_core(pdf, cfg, rules, msg_field)
     seg_start_turn = np.zeros(n, dtype=np.int64)
     seg_flag = np.zeros(n, dtype=bool)
     emit = np.ones(n, dtype=bool)
     lang_id = np.full(n, -1, dtype=np.int8)
-
-    if m > 0:
-        first_of_group = np.zeros(m, dtype=bool)
-        pos = 0
-        gidx = np.zeros(m, dtype=np.int64)
-        for gnum, (s, e) in enumerate(sr for sr in scan_ranges if sr[1] > sr[0]):
-            ln = e - s
-            first_of_group[pos] = True
-            gidx[pos : pos + ln] = gnum
-            pos += ln
-
-        tv = texts.iloc[idx]
-        rawlen = tv.str.len().fillna(0).to_numpy(dtype=np.int64)
-        has_nl = tv.str.contains("\n", regex=False).fillna(False).to_numpy(dtype=bool)
-        gap = np.zeros(m, dtype=bool)
-        if cfg.multiline_flush_interval is not None and m > 1:
-            tsv = pdf[cfg.ts_col].iloc[idx].to_numpy(dtype="datetime64[us]").astype(np.int64)
-            gap[1:] = (tsv[1:] - tsv[:-1]) > cfg.multiline_flush_interval * 1_000_000
-            gap[first_of_group] = False
-        gap |= first_of_group  # hard reset + buffer clear at each group start
-
-        res = fsm.scan(
-            cls[idx], g_tab, b_tab, rawlen, has_nl, gap,
-            force_line_breaks=cfg.force_line_breaks,
-            max_lines=cfg.max_lines,
-            max_bytes=cfg.max_bytes,
-        )
-
-        turns = pdf[cfg.order_col].to_numpy(dtype=np.int64)[idx]
-        adj = turns + gidx * _TURN_OFFSET
-        sst = np.maximum.accumulate(np.where(res.seg_start, adj, np.int64(-1)))
-        sst -= gidx * _TURN_OFFSET
-
-        seg_start_turn[idx] = sst
-        seg_flag[idx] = res.seg_start
-        emit[idx] = res.emit
-        lang_id[idx] = STATE_FAMILY_ID[res.state_after]
+    if g is not None:
+        idx = g["idx"]
+        seg_start_turn[idx] = g["sst"]
+        seg_flag[idx] = g["res"].seg_start
+        emit[idx] = g["res"].emit
+        lang_id[idx] = g["lang"]
 
     out = pdf.copy()
     out["seg_start_turn"] = seg_start_turn
@@ -161,6 +234,74 @@ def _scan_partition(
     out["sync_ok"] = sync_ok
     out = out[~warm]
     return out.drop(columns=[c for c in ("__warmup",) if c in out.columns])
+
+
+def _scan_partition_fused(
+    pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
+) -> pd.DataFrame:
+    """Fused scan+coalesce output mode: one row per segment *partial* (the
+    segment's emitted body rows within one chunk).  The downstream groupBy
+    only stitches the rare chunk-spanning segments, so the second shuffle
+    carries per-segment rows instead of per-turn rows."""
+    if len(pdf) == 0:
+        return _empty_partials(pdf, cfg, msg_field)
+    warm, texts, sync_ok, g = _scan_core(pdf, cfg, rules, msg_field)
+    if g is None:
+        return _empty_partials(pdf, cfg, msg_field)
+
+    idx, gidx, res, sst = g["idx"], g["gidx"], g["res"], g["sst"]
+    keep = res.emit & ~warm[idx]  # emitted body rows only
+    k_idx = idx[keep]
+    if len(k_idx) == 0:
+        return _empty_partials(pdf, cfg, msg_field)
+    k_gidx = gidx[keep]
+    k_sst = sst[keep]
+    k_turn = g["turns"][keep]
+    k_lang = g["lang"][keep]
+    k_has_nl = g["has_nl"][keep]
+    k_texts = texts.iloc[k_idx].tolist()
+
+    p = len(k_idx)
+    pb = np.ones(p, dtype=bool)
+    if p > 1:
+        pb[1:] = (k_gidx[1:] != k_gidx[:-1]) | (k_sst[1:] != k_sst[:-1])
+    starts = np.flatnonzero(pb)
+    ends = np.append(starts[1:], p)
+
+    if cfg.force_line_breaks:
+        prepend = (~k_has_nl) & (k_turn != k_sst)
+    else:
+        prepend = np.zeros(p, dtype=bool)
+
+    parts: list[str | None] = []
+    for s, e in zip(starts, ends):
+        if e - s == 1:
+            t = k_texts[s]
+            parts.append(
+                ("\n" + t) if (prepend[s] and t is not None) else t
+            )
+            continue
+        buf = []
+        for i in range(s, e):
+            t = k_texts[i]
+            if t is None:
+                continue
+            buf.append("\n" + t if prepend[i] else t)
+        parts.append("".join(buf))
+
+    firsts = k_idx[starts]
+    out = {cfg.conv_col: pdf[cfg.conv_col].to_numpy()[firsts]}
+    if cfg.stream is not None:
+        out[cfg.stream] = pdf[cfg.stream].to_numpy()[firsts]
+    out["seg_start_turn"] = k_sst[starts]
+    out["part_min_turn"] = k_turn[starts]
+    out["n_part"] = (ends - starts).astype(np.int64)
+    out["text_part"] = parts
+    out["lang_id"] = k_lang[starts]
+    out["sync_ok"] = sync_ok[firsts]
+    for c in ride_along_cols(pdf.columns, cfg, msg_field):
+        out[c] = pdf[c].to_numpy()[firsts]
+    return pd.DataFrame(out)
 
 
 def _with_chunks(df: DataFrame, cfg: PipelineConfig, fallback_convs) -> DataFrame:
@@ -195,7 +336,11 @@ def find_fallback_convs(
     if msg_field is None:
         return []
     c, o = cfg.chunk_size, cfg.warmup
-    zone = df.filter((F.col(cfg.order_col) % c) >= (c - o)).select(
+    # the explicit range conjunct is parquet-pushable (row-group stats prune
+    # whole files of short conversations); the modulo half is evaluated post-scan
+    zone = df.filter(
+        (F.col(cfg.order_col) >= (c - o)) & ((F.col(cfg.order_col) % c) >= (c - o))
+    ).select(
         F.col(cfg.conv_col).alias("conv"),
         F.expr(f"{cfg.order_col} div {c}").cast("long").alias("zchunk"),
         F.col(cfg.order_col).alias("turn"),
@@ -250,7 +395,16 @@ def segment(
             f"input schema {df.columns} lacks {cfg.conv_col!r}/{cfg.order_col!r}"
         )
 
-    if cfg.chunking_active:
+    chunking = cfg.chunking_active
+    if chunking:
+        # near-free gate (one max() — parquet aggregate pushdown reads only
+        # footers when enabled): if no conversation reaches chunk_size, skip
+        # the pre-pass, warm-up duplication and salted keys entirely
+        max_turn = df.agg(F.max(cfg.order_col)).first()[0]
+        if max_turn is None or max_turn < cfg.chunk_size:
+            chunking = False
+
+    if chunking:
         fallback = find_fallback_convs(df, cfg, rules, msg_field)
         if len(fallback) > cfg.max_fallback_convs:
             # adversarial input: too many unsynchronizable conversations —
@@ -262,9 +416,14 @@ def segment(
         df = df.withColumn("chunk_id", F.lit(0)).withColumn("__warmup", F.lit(False))
 
     group_cols = cfg.group_keys() + ["chunk_id"]
-    out_schema = StructType(
-        [f for f in df.schema.fields if f.name != "__warmup"] + META_FIELDS
-    )
+    if cfg.fuse_coalesce:
+        out_schema = partial_schema(df.schema, cfg, msg_field)
+        scan_fn = _scan_partition_fused
+    else:
+        out_schema = StructType(
+            [f for f in df.schema.fields if f.name != "__warmup"] + META_FIELDS
+        )
+        scan_fn = _scan_partition
 
     def run(batches):
         # one partition may arrive as several Arrow batches and a group may
@@ -273,7 +432,7 @@ def segment(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        yield _scan_partition(pdf, cfg, rules, msg_field)
+        yield scan_fn(pdf, cfg, rules, msg_field)
 
     sorted_df = df.repartition(*group_cols).sortWithinPartitions(
         *group_cols, cfg.order_col

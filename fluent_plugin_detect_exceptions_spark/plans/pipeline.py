@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import PipelineConfig
-from ..operators.coalesce import coalesce_segments
+from ..operators.coalesce import coalesce_partials, coalesce_segments
 from ..operators.enrich import enrich_with_lang
 from ..operators.route import sink_counts, with_out_tag, with_sink
 from ..operators.segmenter import segment
@@ -31,7 +31,10 @@ def detect_exceptions(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     rules = compile_rules(cfg.languages)
     msg_field = cfg.resolve_message_field(df.columns)
     seg = segment(df, cfg, rules)
-    grouped = coalesce_segments(seg, cfg, msg_field)
+    if cfg.fuse_coalesce:
+        grouped = coalesce_partials(seg, cfg, msg_field)
+    else:
+        grouped = coalesce_segments(seg, cfg, msg_field)
     routed = with_sink(with_out_tag(grouped, cfg))
     return routed
 

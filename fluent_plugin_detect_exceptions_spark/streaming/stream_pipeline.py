@@ -1,0 +1,231 @@
+"""Structured Streaming variant of the exception pipeline.
+
+The batch north rule doesn't need streaming, but the reference is a stream
+plugin, so the capability is provided: ``readStream`` source →
+``applyInPandasWithState`` per conversation → routed micro-batch output.
+
+Per-group state is the FSM/buffer carry (fsm.ScanCarry) plus the open
+segment's first-row fields and accumulated text.  Each micro-batch is
+classified with the same vectorized pattern bank and scanned with
+``fsm.scan(entry_carry=...)`` — the carry-chaining invariant (tested in
+test_fsm.py) guarantees micro-batch boundaries are invisible, i.e. streaming
+output ≡ batch output on the same rows.  The idle-timeout flush
+(out_detect_exceptions.rb:116-132) maps to GroupStateTimeout.ProcessingTimeTimeout
+*plus* the event-time gap predicate within batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import PipelineConfig
+from ..functions.classify import classify
+from ..operators import fsm
+from ..operators.segmenter import STATE_FAMILY_ID
+from ..rules import FAMILIES, CompiledRules, compile_rules
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("first_turn_idx", LongType(), False),
+        StructField("role", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("n_lines", LongType(), False),
+        StructField("lang", StringType(), True),
+        StructField("sink", StringType(), False),
+    ]
+)
+
+#: state: FSM carry + open-segment accumulator
+STATE_SCHEMA = StructType(
+    [
+        StructField("fsm_state", IntegerType(), False),
+        StructField("open", BooleanType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("nbytes", LongType(), False),
+        StructField("prev_status", IntegerType(), False),
+        StructField("first_turn", LongType(), True),
+        StructField("first_role", StringType(), True),
+        StructField("first_tool", StringType(), True),
+        StructField("first_ts", LongType(), True),
+        StructField("msgs", StringType(), True),
+        StructField("lang_id", IntegerType(), False),
+        StructField("last_ts", LongType(), True),
+    ]
+)
+
+_EMPTY_STATE = (0, False, 0, 0, int(fsm.NO_TRACE), None, None, None, None, None, -1, None)
+
+
+def _lang_of(lang_id: int) -> str | None:
+    return FAMILIES[lang_id] if lang_id >= 0 else None
+
+
+def _mk_out(conv, first_turn, role, tool, ts, text, n, lang_id):
+    lang = _lang_of(lang_id)
+    return (
+        conv,
+        int(first_turn),
+        role,
+        tool,
+        None if ts is None else int(ts),
+        text,
+        int(n),
+        lang,
+        f"lang_{lang}" if lang else "passthrough",
+    )
+
+
+def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None):
+    rules = rules or compile_rules(cfg.languages)
+    timeout_ms = (
+        int(cfg.multiline_flush_interval * 1000)
+        if cfg.multiline_flush_interval is not None
+        else None
+    )
+
+    def func(key, pdfs, state: GroupState):
+        conv = key[0]
+        rows = []
+
+        if state.hasTimedOut:
+            (fsm_state, opened, cnt, nbytes, prev_status, ft, fr_, fo, fts, msgs,
+             lang_id, _last) = state.get
+            if opened and cnt > 0:
+                rows.append(_mk_out(conv, ft, fr_, fo, fts, msgs, cnt, lang_id))
+            state.remove()
+            yield pd.DataFrame(rows, columns=OUTPUT_SCHEMA.names)
+            return
+
+        st = state.get if state.exists else _EMPTY_STATE
+        (fsm_state, opened, cnt, nbytes, prev_status, ft, fr_, fo, fts, msgs,
+         lang_id, last_ts) = st
+        carry = fsm.ScanCarry(
+            state=fsm_state, open=bool(opened), count=int(cnt),
+            bytes=int(nbytes), prev_status=int(prev_status),
+        )
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(cfg.order_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        texts = pdf[cfg.message] if cfg.message in pdf.columns else pd.Series([None] * n)
+        cls, g_tab, b_tab, _ = classify(texts, rules)
+        rawlen = texts.str.len().fillna(0).to_numpy(np.int64)
+        has_nl = texts.str.contains("\n", regex=False).fillna(False).to_numpy(bool)
+        tsv = (
+            pdf[cfg.ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64) // 1_000_000
+            if cfg.ts_col in pdf.columns
+            else np.zeros(n, dtype=np.int64)
+        )
+        gap = np.zeros(n, dtype=bool)
+        if cfg.multiline_flush_interval is not None:
+            prev_ts = np.empty(n, dtype=np.int64)
+            prev_ts[0] = last_ts if last_ts is not None else tsv[0]
+            prev_ts[1:] = tsv[:-1]
+            gap = (tsv - prev_ts) > cfg.multiline_flush_interval
+
+        res = fsm.scan(
+            cls, g_tab, b_tab, rawlen, has_nl, gap,
+            force_line_breaks=cfg.force_line_breaks,
+            max_lines=cfg.max_lines,
+            max_bytes=cfg.max_bytes,
+            entry_carry=carry,
+        )
+
+        turns = pdf[cfg.order_col].to_numpy(np.int64)
+        roles = pdf["role"].tolist() if "role" in pdf.columns else [None] * n
+        tools = pdf["tool"].tolist() if "tool" in pdf.columns else [None] * n
+        seg = np.cumsum(res.seg_start)
+        row_lang = STATE_FAMILY_ID[res.state_after]
+
+        # rows with seg==0 continue the carried-open segment from state
+        for sid in range(0, int(seg[-1]) + 1):
+            mask = (seg == sid) & res.emit
+            idxs = np.flatnonzero(mask)
+            if sid == 0:
+                if idxs.size == 0:
+                    continue
+            elif idxs.size == 0:
+                continue
+            if sid == 0 and not opened:
+                continue
+            if sid == 0:
+                seg_first = (ft, fr_, fo, fts)
+                seg_msgs = msgs or ""
+                seg_cnt = int(cnt)
+                seg_lang = int(lang_id)
+            else:
+                f0 = int(idxs[0])
+                seg_first = (int(turns[f0]), roles[f0], tools[f0], int(tsv[f0]))
+                seg_msgs = ""
+                seg_cnt = 0
+                seg_lang = int(row_lang[f0])
+            for i in idxs:
+                t = texts.iloc[int(i)]
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    continue
+                if cfg.force_line_breaks and seg_cnt > 0 and "\n" not in t:
+                    t = "\n" + t
+                seg_msgs += t
+                seg_cnt += 1
+            closed = sid < seg[-1] or not res.carry.open
+            if closed:
+                if seg_cnt == 0 and idxs.size:
+                    # nil pass-through rows: emit original (null text)
+                    for i in idxs:
+                        rows.append(
+                            _mk_out(conv, int(turns[i]), roles[int(i)], tools[int(i)],
+                                    int(tsv[int(i)]), None, 1, -1)
+                        )
+                elif seg_cnt > 0:
+                    rows.append(
+                        _mk_out(conv, seg_first[0], seg_first[1], seg_first[2],
+                                seg_first[3], seg_msgs, seg_cnt, seg_lang)
+                    )
+            else:
+                state.update(
+                    (
+                        int(res.carry.state), True, seg_cnt, int(res.carry.bytes),
+                        int(res.carry.prev_status), seg_first[0], seg_first[1],
+                        seg_first[2], seg_first[3], seg_msgs, seg_lang, int(tsv[-1]),
+                    )
+                )
+
+        if not res.carry.open:
+            state.update(
+                (
+                    int(res.carry.state), False, 0, 0, int(res.carry.prev_status),
+                    None, None, None, None, None, -1, int(tsv[-1]),
+                )
+            )
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(rows, columns=OUTPUT_SCHEMA.names)
+
+    return func
+
+
+def detect_exceptions_stream(stream_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """streaming transcripts → streaming routed records (append mode)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if cfg.multiline_flush_interval is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    func = make_state_func(cfg)
+    return stream_df.groupBy(cfg.conv_col).applyInPandasWithState(
+        func, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+    )

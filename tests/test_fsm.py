@@ -159,3 +159,51 @@ def test_randomized_vs_oracle(idxs, max_lines, max_bytes, flb, gaps, languages):
         lines, languages, ts=ts, flush_interval=interval,
         force_line_breaks=flb, max_lines=max_lines, max_bytes=max_bytes,
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    idxs=st.lists(st.integers(0, len(LINE_POOL) - 1), min_size=2, max_size=80),
+    cuts=st.lists(st.integers(1, 79), max_size=4),
+    max_lines=st.sampled_from([0, 3, 1000]),
+    max_bytes=st.sampled_from([0, 200]),
+)
+def test_carry_chaining_equals_single_scan(idxs, cuts, max_lines, max_bytes):
+    """Scanning in arbitrary slices with carried state == one scan (the
+    streaming micro-batch invariant)."""
+    from tests.helpers import scan_lines
+    from fluent_plugin_detect_exceptions_spark.functions.classify import classify
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+    import pandas as pd
+
+    lines = [LINE_POOL[i] for i in idxs if LINE_POOL[i] is not None]
+    if not lines:
+        return
+    full, _ = scan_lines(lines, max_lines=max_lines, max_bytes=max_bytes)
+
+    rules = compile_rules(("all",))
+    cls, g_tab, b_tab, _ = classify(pd.Series(lines, dtype=object), rules)
+    rawlen = np.array([len(x) for x in lines], dtype=np.int64)
+    has_nl = np.array(["\n" in x for x in lines], dtype=bool)
+    bounds = sorted({c % len(lines) for c in cuts if 0 < c % len(lines) < len(lines)})
+    pieces = []
+    carry = None
+    prev = 0
+    for b in bounds + [len(lines)]:
+        if b <= prev:
+            continue
+        sl = slice(prev, b)
+        r = fsm.scan(
+            cls[sl], g_tab, b_tab, rawlen[sl], has_nl[sl],
+            np.zeros(b - prev, dtype=bool),
+            max_lines=max_lines, max_bytes=max_bytes, entry_carry=carry,
+        )
+        carry = r.carry
+        pieces.append(r)
+        prev = b
+    got_status = np.concatenate([p.status for p in pieces])
+    got_flags = np.concatenate([p.seg_start for p in pieces])
+    got_emit = np.concatenate([p.emit for p in pieces])
+    assert got_status.tolist() == full.status.tolist()
+    assert got_flags.tolist() == full.seg_start.tolist()
+    assert got_emit.tolist() == full.emit.tolist()

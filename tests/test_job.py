@@ -1,0 +1,71 @@
+"""Resumable bucketed job: manifest skip semantics, outputs, lineage and
+metrics tables."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_detect_exceptions_spark import job as jobmod
+from fluent_plugin_detect_exceptions_spark.checkpoint import BucketManifest
+from fluent_plugin_detect_exceptions_spark.config import PipelineConfig
+from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_exceptions
+from fluent_plugin_detect_exceptions_spark.sources.transcripts import synth_transcripts
+
+
+def test_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
+    src = str(tmp_path / "transcripts.parquet")
+    out = str(tmp_path / "out")
+    synth_transcripts(spark, 12, repeats=1).write.mode("overwrite").parquet(src)
+
+    # avoid job.main building its own session
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.Builder.getOrCreate", lambda self: spark
+    )
+    stopped = []
+    monkeypatch.setattr(type(spark), "stop", lambda self: stopped.append(1))
+
+    argv = [
+        "--input", src, "--output", out, "--buckets", "3",
+        "--remove-tag-prefix", "conv",
+    ]
+    jobmod.main(argv)
+    manifest = BucketManifest(f"{out}/_checkpoint")
+    done = manifest.completed()
+    assert sorted(done) == [0, 1, 2]
+
+    routed = spark.read.parquet(f"{out}/routed")
+    direct = detect_exceptions(
+        spark.read.parquet(src), PipelineConfig(remove_tag_prefix="conv")
+    )
+    assert routed.count() == direct.count()
+    got_counts = {
+        r["sink"]: r["n"]
+        for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want_counts = {
+        r["sink"]: r["n"]
+        for r in direct.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_counts == want_counts
+
+    # lineage + metrics tables exist and reconcile
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.agg(F.sum("n_rows")).first()[0] == spark.read.parquet(src).count()
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.agg(F.sum("rows_emitted")).first()[0] >= routed.count()
+
+    # resume: simulate a crash that lost bucket 2's manifest entry
+    lines = open(f"{out}/_checkpoint/manifest.jsonl").read().strip().splitlines()
+    entries = [json.loads(x) for x in lines]
+    with open(f"{out}/_checkpoint/manifest.jsonl", "w") as f:
+        for e in entries:
+            if e["bucket"] != 2:
+                f.write(json.dumps(e) + "\n")
+    jobmod.main(argv)  # reprocesses only bucket 2
+    done2 = BucketManifest(f"{out}/_checkpoint").completed()
+    assert sorted(done2) == [0, 1, 2]
+    routed2 = spark.read.parquet(f"{out}/routed")
+    assert routed2.count() == direct.count()

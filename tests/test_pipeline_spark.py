@@ -249,3 +249,14 @@ def test_skew_tail_chunks_without_fallback(spark):
     fb = find_fallback_convs(df, cfg, compile_rules(cfg.languages), "text")
     assert fb == []
     assert spark_routed(df, cfg) == spark_routed(df, PipelineConfig(chunk_size=0))
+
+
+def test_fused_equals_unfused_coalesce(spark):
+    df = synth_transcripts(spark, 15, repeats=2)
+    fused = spark_routed(df, PipelineConfig(fuse_coalesce=True, chunk_size=64, warmup=32))
+    unfused = spark_routed(df, PipelineConfig(fuse_coalesce=False, chunk_size=64, warmup=32))
+    assert fused == unfused
+    # and with limits + force_line_breaks
+    cfgf = PipelineConfig(fuse_coalesce=True, max_lines=3)
+    cfgu = PipelineConfig(fuse_coalesce=False, max_lines=3)
+    assert spark_routed(df, cfgf) == spark_routed(df, cfgu)
