@@ -151,9 +151,80 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, [float(x) for x in qv], k=10)
 
 
+def _q_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O1 scan with pushed-down filter + column pruning over a testdata table
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def _q_pipeline_max_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O10/O11 limits (rows-only check: the repair-loop semantics are not
+    # SQL-expressible; exactness is covered by the oracle differential tests)
+    df = synth_transcripts(spark, 20, 1)
+    cfg = PipelineConfig(max_lines=3, fuse_coalesce=True)
+    routed = detect_exceptions(df, cfg)
+    return routed.select(
+        "conv_id", "first_turn_idx", "text", "n_lines", "lang", "sink"
+    )
+
+
+def _q_pipeline_flb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O12 force_line_breaks (rows-only)
+    df = synth_transcripts(spark, 10, 1).withColumn(
+        "text", F.regexp_replace("text", r"\n$", "")
+    )
+    routed = detect_exceptions(df, PipelineConfig(force_line_breaks=True))
+    return routed.select("conv_id", "first_turn_idx", "text", "n_lines", "lang")
+
+
+def _q_pipeline_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O13 event-time gap flush (rows-only): every 8th turn is delayed 10s
+    df = synth_transcripts(spark, 10, 1).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.unix_timestamp("ts") + F.when(F.col("turn_idx") % 8 == 0, 10).otherwise(0)
+        ),
+    )
+    routed = detect_exceptions(df, PipelineConfig(multiline_flush_interval=5))
+    return routed.select("conv_id", "first_turn_idx", "text", "n_lines", "lang")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-dup buckets (rows-only: 64-bit-vote aggregate not
+    # worth mirroring in SQL; determinism covered by repeatability)
+    return D.simhash_near_dups(_docs(spark, sf_dir), prefix_bits=8)
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH candidates verified by exact shingle Jaccard (rows-only)
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold_millis=100)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hyperplane-LSH bucketed ANN (rows-only; brute-force top-k has the oracle)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.lsh_bucketed_topk(emb, qv, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exception_pipeline": _q_exception_pipeline,
+        "events_scan": _q_events_scan,
+        "pipeline_max_lines": _q_pipeline_max_lines,
+        "pipeline_force_line_breaks": _q_pipeline_flb,
+        "pipeline_timeout_gap": _q_pipeline_timeout,
+        "simhash_buckets": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
         "sink_counts": _q_sink_counts,
         "classify_start": _q_classify_start,
         "demux_counts": _q_demux_counts,
@@ -169,8 +240,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # pipeline_max_lines / force_line_breaks / timeout_gap, simhash,
+    # jaccard_pairs and ann_lsh_topk are intentionally omitted: their
+    # semantics are not reasonably SQL-expressible (stateful repair loop /
+    # 64-bit bit-vote / float LSH), so the driver records rows-only checks;
+    # exactness is guaranteed by the oracle differential tests instead.
     return {
         "exception_pipeline": O.pipeline_sql(N_CONVS, REPEATS),
+        "events_scan": """
+SELECT event_id, user_id,
+       CAST(epoch(ts) AS BIGINT) AS ts_epoch,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events WHERE event_type = 'error'""",
         "sink_counts": O.sink_counts_sql(N_CONVS, REPEATS),
         "classify_start": O.classify_start_sql(N_CONVS, REPEATS),
         "demux_counts": O.demux_counts_sql(N_CONVS, REPEATS),

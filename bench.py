@@ -23,8 +23,14 @@ import time
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder
+    # RAM-backed shuffle dirs when available: on one box the single disk is a
+    # shared resource that saturates at high core counts, which a cluster's
+    # per-node disks would not (set SPARK_GRAFT_DISK_SHUFFLE=1 to disable)
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_GRAFT_DISK_SHUFFLE"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName("detect-exceptions-bench")
         .config("spark.sql.shuffle.partitions", str(max(16, 4 * cpus)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -37,6 +43,31 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
+
+
+def pin_tree(cpus) -> None:
+    """Pin every thread of this process and all descendants (JVM task
+    threads, python daemon + workers) to the given cores."""
+    pids = [os.getpid()]
+    seen = set()
+    while pids:
+        pid = pids.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                try:
+                    os.sched_setaffinity(int(tid), cpus)
+                except OSError:
+                    pass
+                try:
+                    with open(f"/proc/{pid}/task/{tid}/children") as f:
+                        pids.extend(int(c) for c in f.read().split())
+                except OSError:
+                    pass
+        except OSError:
+            continue
 
 
 def main() -> None:
@@ -104,6 +135,20 @@ def main() -> None:
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()
 
+    # Optional: pin the whole process tree to exactly `cpus` cores for the
+    # *measured* section only (generation/warm-up above run unpinned).  Used
+    # by the scaling study so local[N] parallelism == N physical cores while
+    # keeping setup fast.  Exercise the python stage once first so the
+    # workers that will serve the pinned run already exist and get pinned.
+    if os.environ.get("SPARK_GRAFT_PIN"):
+        from fluent_plugin_detect_exceptions_spark.config import PipelineConfig as _PC
+        from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
+            detect_with_counts as _dwc,
+        )
+
+        _dwc(transcripts.limit(5000), _PC())[1].collect()
+        pin_tree(set(range(cpus)))
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
@@ -115,12 +160,12 @@ def main() -> None:
     # q1: flagship grouped-exception pipeline incl. salted skew handling
     cfg = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048)
     def run_pipeline():
-        routed, counts = detect_with_counts(transcripts, cfg)
-        routed = routed.persist()
-        n_routed = routed.count()
-        out = n_routed, {r["sink"]: r["n"] for r in counts.collect()}
-        routed.unpersist()
-        return out
+        # single action: the per-sink aggregate IS the headline output; the
+        # routed row count falls out of it (no persist — caching the full
+        # routed text through the memory store costs more than it saves)
+        _, counts = detect_with_counts(transcripts, cfg)
+        cmap = {r["sink"]: r["n"] for r in counts.collect()}
+        return sum(cmap.values()), cmap
     (n_routed, counts_map) = timed("exception_pipeline", run_pipeline)
 
     # q2: exact + minhash dedup over documents

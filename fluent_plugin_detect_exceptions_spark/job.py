@@ -5,7 +5,7 @@ Usage (cluster):
     python scripts/make_pyfiles.py   # -> dist/fluent_plugin_detect_exceptions_spark.zip
     spark-submit \\
         --py-files dist/fluent_plugin_detect_exceptions_spark.zip \\
-        -m fluent_plugin_detect_exceptions_spark.job -- \\
+        scripts/run_job.py \\
         --input s3://bucket/transcripts/ --output s3://bucket/routed/ \\
         --checkpoint-dir s3://bucket/_ckpt --buckets 64 --languages all
 
@@ -78,15 +78,14 @@ def run_bucket(spark, df, cfg, rules, out_dir: str, bucket: int) -> dict:
     msg_field = cfg.resolve_message_field(df.columns)
     coalesce = coalesce_partials if cfg.fuse_coalesce else coalesce_segments
     routed = with_sink(with_out_tag(coalesce(seg, cfg, msg_field), cfg))
-    routed = routed.persist()
-    try:
-        n_routed = routed.count()
-        routed.write.mode("overwrite").partitionBy("sink").parquet(
-            f"{out_dir}/routed/bucket={bucket}"
-        )
-        counts = {r["sink"]: r["n"] for r in sink_counts(routed).collect()}
-    finally:
-        routed.unpersist()
+    # write once, then aggregate from the durable output (cheaper than
+    # persisting megabytes of combined text through the memory store, and the
+    # counts provably describe what was written)
+    out_path = f"{out_dir}/routed/bucket={bucket}"
+    routed.write.mode("overwrite").partitionBy("sink").parquet(out_path)
+    written = spark.read.parquet(out_path)
+    counts = {r["sink"]: r["n"] for r in sink_counts(written).collect()}
+    n_routed = sum(counts.values())
     # lineage + metrics (cheap second pass over this bucket's slice)
     input_lineage(df).write.mode("overwrite").parquet(
         f"{out_dir}/lineage/bucket={bucket}"

@@ -432,9 +432,16 @@ def segment(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # sort in Python: factorize + integer lexsort beats the JVM's
+        # row-based string-key Sort by ~20% of whole-pipeline time (the JVM
+        # side is the saturated resource; Python has headroom)
+        codes, _ = pd.factorize(pdf[cfg.conv_col])
+        keys = [pdf[cfg.order_col].to_numpy(), pdf["chunk_id"].to_numpy()]
+        if cfg.stream is not None:
+            scodes, _ = pd.factorize(pdf[cfg.stream])
+            keys.insert(1, scodes)
+        order = np.lexsort(tuple(keys) + (codes,))
+        pdf = pdf.take(order).reset_index(drop=True)
         yield scan_fn(pdf, cfg, rules, msg_field)
 
-    sorted_df = df.repartition(*group_cols).sortWithinPartitions(
-        *group_cols, cfg.order_col
-    )
-    return sorted_df.mapInPandas(run, schema=out_schema)
+    return df.repartition(*group_cols).mapInPandas(run, schema=out_schema)

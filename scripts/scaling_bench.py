@@ -25,15 +25,15 @@ def run(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_BENCH_SCALE=os.environ.get("SPARK_GRAFT_BENCH_SCALE", "8"),
         PYTHONPATH=REPO,
     )
-    # Pin the whole process tree (JVM task threads AND python workers) to
-    # exactly `cpus` cores: local[N] alone only bounds JVM task slots, so an
-    # unpinned "N-core" run would silently borrow extra cores for Python —
-    # inflating the small-N baseline and understating scaling efficiency.
+    # SPARK_GRAFT_PIN: bench pins its whole process tree (JVM task threads
+    # AND python workers) to exactly `cpus` cores for the measured section —
+    # local[N] alone only bounds JVM task slots, so an unpinned "N-core" run
+    # would silently borrow extra cores for Python, inflating the small-N
+    # baseline.  Generation/warm-up stay unpinned (setup, not measurement).
+    env["SPARK_GRAFT_PIN"] = "1"
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
-    cpu_list = ",".join(str(i) for i in range(cpus))
-    taskset = ["taskset", "-c", cpu_list]
     out = subprocess.run(
-        taskset + cmd,
+        cmd,
         env=env,
         capture_output=True,
         text=True,

@@ -75,6 +75,10 @@ def main() -> None:
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # tmpfs shuffle dirs: on one box the single disk is a *shared*
+        # resource that saturates at high core counts — a cluster has
+        # per-node disks, so RAM-backed shuffle is the honest per-node analogue
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
