@@ -249,7 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "exception_pipeline": O.pipeline_sql(N_CONVS, REPEATS),
         "events_scan": """
 SELECT event_id, user_id,
-       CAST(epoch(ts) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
        CAST(floor(value * 100) AS BIGINT) AS value_cents
 FROM events WHERE event_type = 'error'""",
         "sink_counts": O.sink_counts_sql(N_CONVS, REPEATS),
