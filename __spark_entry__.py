@@ -186,15 +186,23 @@ def _q_pipeline_flb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pipeline_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # O13 event-time gap flush (rows-only): every 8th turn is delayed 10s
-    df = synth_transcripts(spark, 10, 1).withColumn(
+    # O13 event-time gap flush, oracle-checked: every 8th turn is delayed
+    # 10s (> interval 5), deterministically in both engines
+    df = synth_transcripts(spark, N_CONVS, REPEATS).withColumn(
         "ts",
         F.timestamp_seconds(
             F.unix_timestamp("ts") + F.when(F.col("turn_idx") % 8 == 0, 10).otherwise(0)
         ),
     )
-    routed = detect_exceptions(df, PipelineConfig(multiline_flush_interval=5))
-    return routed.select("conv_id", "first_turn_idx", "text", "n_lines", "lang")
+    cfg = PipelineConfig(
+        remove_tag_prefix="conv", max_lines=0, multiline_flush_interval=5
+    )
+    routed = detect_exceptions(df, cfg)
+    return routed.select(
+        "conv_id", "first_turn_idx", "role", "tool",
+        F.unix_timestamp("ts").alias("ts"), "text", "n_lines", "lang",
+        "sink", "out_tag",
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +255,12 @@ def oracle_sql() -> dict[str, str]:
     # exactness is guaranteed by the oracle differential tests instead.
     return {
         "exception_pipeline": O.pipeline_sql(N_CONVS, REPEATS),
+        "pipeline_timeout_gap": O.pipeline_sql(
+            N_CONVS,
+            REPEATS,
+            gap_interval=5,
+            ts_extra="CASE WHEN l.turn_idx % 8 = 0 THEN 10 ELSE 0 END",
+        ),
         "events_scan": """
 SELECT event_id, user_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,

@@ -48,8 +48,10 @@ def _start_match_case(rules: CompiledRules, text: str) -> str:
     return f"(CASE {inner} ELSE {q(START_STATE)} END)"
 
 
-def transcripts_cte(n_convs: int, repeats: int = 1) -> str:
-    """CTE block `lines`, `t` — byte-identical to synth_transcripts()."""
+def transcripts_cte(n_convs: int, repeats: int = 1, ts_extra: str = "0") -> str:
+    """CTE block `lines`, `t` — byte-identical to synth_transcripts().
+    ``ts_extra`` is a SQL expression over ``l.turn_idx`` added to the
+    timestamp (used to synthesize deterministic event-time gaps)."""
     rows = scenario_lines(repeats)
     values = ",\n    ".join(f"({scn}, {turn}, {q(text)})" for scn, turn, text in rows)
     return f"""
@@ -64,7 +66,7 @@ t AS (
          CASE WHEN l.turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
          l.text,
          'tool' || CAST(l.turn_idx % 3 AS VARCHAR) AS tool,
-         CAST({BASE_EPOCH} + l.turn_idx AS BIGINT) AS ts
+         CAST({BASE_EPOCH} + l.turn_idx + ({ts_extra}) AS BIGINT) AS ts
   FROM (SELECT range AS c FROM range({n_convs})) c
   JOIN lines l ON l.scn = c.c % {N_SCENARIOS}
 )"""
@@ -82,11 +84,22 @@ LANG_CASE = (
 
 def pipeline_sql(n_convs: int, repeats: int = 1, languages=("all",),
                  remove_tag_prefix: str | None = "conv",
-                 final_select: str | None = None) -> str:
-    """Full oracle for the exception pipeline (no limits / timeout: the
-    correctness-gate configuration)."""
+                 final_select: str | None = None,
+                 gap_interval: float | None = None,
+                 ts_extra: str = "0") -> str:
+    """Full oracle for the exception pipeline (no buffer limits; the
+    correctness-gate configuration).  ``gap_interval`` enables the O13
+    event-time flush: a gap > interval forces flush+reset *before* the row —
+    the recursive step then transitions from start_state and the row raises
+    a start-of-block flag."""
     rules = compile_rules(languages)
-    s1_rec = _first_match_case(rules, "s.state", "t2.text")
+    if gap_interval is None:
+        eff_state = "s.state"
+        gap_expr = "FALSE"
+    else:
+        gap_expr = f"(t2.ts - s.ts) > {gap_interval}"
+        eff_state = f"(CASE WHEN {gap_expr} THEN {q(START_STATE)} ELSE s.state END)"
+    s1_rec = _first_match_case(rules, eff_state, "t2.text")
     start_rec = _start_match_case(rules, "t2.text")
     s1_base = _start_match_case(rules, "text")
     first_base = _first_match_case(rules, q(START_STATE), "text")
@@ -104,16 +117,18 @@ SELECT conv_id, first_turn_idx, role, tool, ts, text, n_lines,
        {out_tag} AS out_tag
 FROM grouped"""
     return f"""WITH RECURSIVE
-{transcripts_cte(n_convs, repeats)},
+{transcripts_cte(n_convs, repeats, ts_extra)},
 scan AS (
   SELECT conv_id, turn_idx, role, tool, ts, text,
          ({first_base}) IS NOT NULL AS matched,
-         COALESCE({first_base}, {s1_base}) AS state
+         COALESCE({first_base}, {s1_base}) AS state,
+         FALSE AS gap
   FROM t WHERE turn_idx = 0
   UNION ALL
   SELECT t2.conv_id, t2.turn_idx, t2.role, t2.tool, t2.ts, t2.text,
          ({s1_rec}) IS NOT NULL AS matched,
-         COALESCE({s1_rec}, {start_rec}) AS state
+         COALESCE({s1_rec}, {start_rec}) AS state,
+         {gap_expr} AS gap
   FROM scan s JOIN t t2
     ON t2.conv_id = s.conv_id AND t2.turn_idx = s.turn_idx + 1
 ),
@@ -127,7 +142,7 @@ statuses AS (
 ),
 flags AS (
   SELECT *,
-    CASE WHEN status IN ('no', 'start')
+    CASE WHEN gap OR status IN ('no', 'start')
            OR COALESCE(lag(status) OVER w, 'no') IN ('no', 'end')
          THEN 1 ELSE 0 END AS flag
   FROM statuses
@@ -142,7 +157,7 @@ grouped AS (
          CAST(min(turn_idx) AS BIGINT) AS first_turn_idx,
          arg_min(role, turn_idx) AS role,
          arg_min(tool, turn_idx) AS tool,
-         min(ts) AS ts,
+         arg_min(ts, turn_idx) AS ts,
          string_agg(text, '' ORDER BY turn_idx) AS text,
          CAST(count(*) AS BIGINT) AS n_lines,
          arg_min(state, turn_idx) AS first_state
