@@ -18,12 +18,26 @@ Entirely JVM-side built-ins — no Python in this stage:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import PipelineConfig
 from ..rules import FAMILIES
 
 META_COLS = ("seg_start_turn", "seg_flag", "emit", "lang_id", "sync_ok", "chunk_id")
+
+
+def segment_ids_window(seg: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Running-sum segment ids over the start-of-block flag — the window
+    formulation: ``sum(seg_flag) OVER (PARTITION BY conv ORDER BY turn)``.
+
+    ``seg_start_turn`` (used by the pipeline) is the same assignment in a
+    chunk-stitchable form: two rows share a window-sum segment id iff they
+    share (conv, seg_start_turn) — asserted by test_window_segment_ids.
+    This helper exists for consumers who want dense per-conversation segment
+    numbers; note the window re-sorts each conversation in one task, so
+    prefer seg_start_turn keys at skew scale."""
+    w = Window.partitionBy(*cfg.group_keys()).orderBy(cfg.order_col)
+    return seg.withColumn("segment_id", F.sum(F.col("seg_flag").cast("long")).over(w))
 
 
 def coalesce_partials(partials: DataFrame, cfg: PipelineConfig, msg_field: str | None = "text") -> DataFrame:

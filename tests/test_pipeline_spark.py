@@ -260,3 +260,47 @@ def test_fused_equals_unfused_coalesce(spark):
     cfgf = PipelineConfig(fuse_coalesce=True, max_lines=3)
     cfgu = PipelineConfig(fuse_coalesce=False, max_lines=3)
     assert spark_routed(df, cfgf) == spark_routed(df, cfgu)
+
+
+def test_window_segment_ids_equal_seg_start_turn(spark):
+    # the window running-sum segment id and the (conv, seg_start_turn) key
+    # induce the same partition of rows into segments
+    from fluent_plugin_detect_exceptions_spark.operators.coalesce import (
+        segment_ids_window,
+    )
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import segment
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+
+    df = synth_transcripts(spark, 10, repeats=2)
+    cfg = PipelineConfig(fuse_coalesce=False, chunk_size=64, warmup=32)
+    seg = segment(df, cfg, compile_rules(cfg.languages))
+    rows = segment_ids_window(seg, cfg).select(
+        "conv_id", "turn_idx", "seg_start_turn", "segment_id"
+    ).collect()
+    by_window = {}
+    by_sst = {}
+    for r in rows:
+        by_window.setdefault((r["conv_id"], r["segment_id"]), set()).add(
+            (r["conv_id"], r["turn_idx"])
+        )
+        by_sst.setdefault((r["conv_id"], r["seg_start_turn"]), set()).add(
+            (r["conv_id"], r["turn_idx"])
+        )
+    assert sorted(by_window.values(), key=sorted) == sorted(by_sst.values(), key=sorted)
+
+
+def test_sparse_turn_idx(spark):
+    # turn numbering with holes (input_hint promises dense, but the engine
+    # must not corrupt ordering if upstream deletes turns)
+    lines = fx.lines(fx.JAVA_EXC) + fx.lines(fx.ARBITRARY_TEXT)
+    rows = [
+        {"conv_id": "c0", "turn_idx": 3 * i + 7, "role": "u", "text": t,
+         "tool": "t", "ts": BASE_EPOCH + i}
+        for i, t in enumerate(lines)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    for cfg in (PipelineConfig(), PipelineConfig(chunk_size=8, warmup=4)):
+        got = spark_routed(df, cfg)
+        texts = [g[5] for g in got]
+        assert fx.JAVA_EXC in texts
+        assert len(got) == 1 + len(fx.lines(fx.ARBITRARY_TEXT))
