@@ -248,10 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # pipeline_max_lines / force_line_breaks / timeout_gap, simhash,
-    # jaccard_pairs and ann_lsh_topk are intentionally omitted: their
-    # semantics are not reasonably SQL-expressible (stateful repair loop /
-    # 64-bit bit-vote / float LSH), so the driver records rows-only checks;
+    # pipeline_max_lines / force_line_breaks, simhash_buckets and
+    # ann_lsh_topk are intentionally omitted: their semantics are not
+    # reasonably SQL-expressible (stateful repair loop / 64-bit bit-vote /
+    # float hyperplane LSH), so the driver records rows-only checks;
     # exactness is guaranteed by the oracle differential tests instead.
     return {
         "exception_pipeline": O.pipeline_sql(N_CONVS, REPEATS),
@@ -271,6 +271,7 @@ FROM events WHERE event_type = 'error'""",
         "demux_counts": O.demux_counts_sql(N_CONVS, REPEATS),
         "tag_rewrite": O.tag_rewrite_sql(5),
         "dedup_exact": O.DEDUP_EXACT_SQL,
+        "jaccard_pairs": O.jaccard_pairs_sql(threshold_millis=100),
         "token_stats": O.TOKEN_STATS_SQL,
         "quality_stats": O.QUALITY_SQL,
         "lang_id": O.lang_id_doc_sql(),

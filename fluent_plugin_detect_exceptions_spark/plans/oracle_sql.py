@@ -330,3 +330,46 @@ s AS (
 )
 SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
 FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
+
+
+def jaccard_pairs_sql(threshold_millis: int = 100, num_hashes: int = 8,
+                      band_size: int = 2, k: int = 5) -> str:
+    """LSH candidate pairs verified by exact shingle Jaccard, mirroring
+    operators.dedup.jaccard_pairs: candidates from shared (band_id,
+    band_key), intersection via filter+contains over distinct shingle sets,
+    integerized to 1/1000ths with the same floor(1000.0*i/u) double math."""
+    sigs = [
+        f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
+        for j in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        key_parts = " || ',' || ".join(
+            f"CAST(s{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key_parts}) AS band_key FROM sigs"
+        )
+    union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
+sigs AS (SELECT doc_id, {', '.join(sigs)} FROM sh),
+bands AS ({union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT) AS jaccard_millis
+FROM j
+WHERE CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT) >= {threshold_millis}"""
