@@ -16,9 +16,26 @@ overwrite semantics).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from dataclasses import dataclass
+
+
+class ManifestMismatch(RuntimeError):
+    """Resume attempted with a different partitioning or pipeline config than
+    the manifest was written under — skipping old bucket ids under a new
+    bucket count (or changed semantics) would silently drop or duplicate
+    conversations."""
+
+
+def config_fingerprint(cfg, n_buckets: int) -> str:
+    """Stable digest of everything that determines bucket membership and
+    per-bucket output: the bucket count plus the full pipeline config."""
+    import dataclasses
+
+    payload = {"n_buckets": n_buckets, "cfg": dataclasses.asdict(cfg)}
+    return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
 @dataclass
@@ -28,21 +45,34 @@ class BucketManifest:
     def _file(self) -> str:
         return os.path.join(self.path, "manifest.jsonl")
 
-    def completed(self) -> dict[int, dict]:
+    def completed(self, fingerprint: str | None = None) -> dict[int, dict]:
+        """Completed buckets.  When ``fingerprint`` is given, any entry
+        written under a DIFFERENT fingerprint raises ManifestMismatch — the
+        caller must either re-run with the original settings or start a clean
+        checkpoint dir."""
         done: dict[int, dict] = {}
         try:
             with open(self._file()) as f:
                 for line in f:
                     if line.strip():
                         e = json.loads(line)
+                        if fingerprint is not None and e.get("fingerprint") != fingerprint:
+                            raise ManifestMismatch(
+                                f"manifest {self._file()} bucket {e.get('bucket')} was "
+                                f"written under fingerprint {e.get('fingerprint')!r}, "
+                                f"current run is {fingerprint!r} (different --buckets "
+                                f"or pipeline config); refusing to resume"
+                            )
                         done[int(e["bucket"])] = e
         except FileNotFoundError:
             pass
         return done
 
-    def mark_done(self, bucket: int, info: dict) -> None:
+    def mark_done(self, bucket: int, info: dict, fingerprint: str | None = None) -> None:
         os.makedirs(self.path, exist_ok=True)
         entry = dict(info, bucket=bucket)
+        if fingerprint is not None:
+            entry["fingerprint"] = fingerprint
         # append + flush + fsync: the entry is durable before the next bucket
         with open(self._file(), "a") as f:
             f.write(json.dumps(entry, sort_keys=True) + "\n")

@@ -26,16 +26,20 @@ import argparse
 import time
 import uuid
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import Observation, SparkSession, functions as F
 
-from .checkpoint import BucketManifest, bucket_of
+from .checkpoint import BucketManifest, bucket_of, config_fingerprint
 from .config import PipelineConfig
-from .metrics import input_lineage, partition_metrics, write_run_metadata
+from .metrics import input_lineage, write_run_metadata
 from .operators.coalesce import coalesce_partials, coalesce_segments
-from .operators.route import sink_counts, with_out_tag, with_sink
+from .operators.route import with_out_tag, with_sink
 from .operators.segmenter import segment
-from .rules import compile_rules
+from .rules import FAMILIES, compile_rules
 from .sources.transcripts import read_transcripts
+
+#: the sink namespace is closed (per-language + pass-through), so per-sink
+#: counts can ride the write as observed metrics instead of a second job
+SINKS = tuple(f"lang_{fam}" for fam in FAMILIES) + ("passthrough",)
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -73,29 +77,56 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
 
 
 def run_bucket(spark, df, cfg, rules, out_dir: str, bucket: int) -> dict:
+    """One source scan per bucket: segmentation metrics and per-sink counts
+    ride the routed write as observed metrics (CollectMetricsExec — computed
+    in-plan, exactly-once even under task retries), instead of re-running the
+    classify+FSM stage or re-reading the written parquet.  The only extra
+    pass is input lineage, a 2-column footer-light scan (column pruning)."""
     t0 = time.perf_counter()
     seg = segment(df, cfg, rules)
+    seg_obs = Observation(f"seg_metrics_{bucket}")
+    if "n_part" in seg.columns:  # fused partials
+        seg = seg.observe(
+            seg_obs,
+            F.coalesce(F.sum("n_part"), F.lit(0)).alias("rows_emitted"),
+            F.count(F.lit(1)).alias("segments_started"),
+            F.coalesce(F.sum((~F.col("sync_ok")).cast("long")), F.lit(0)).alias("parts_unsynced"),
+        )
+    else:
+        seg = seg.observe(
+            seg_obs,
+            F.coalesce(F.sum(F.col("emit").cast("long")), F.lit(0)).alias("rows_emitted"),
+            F.coalesce(F.sum(F.col("seg_flag").cast("long")), F.lit(0)).alias("segments_started"),
+            F.coalesce(F.sum((~F.col("sync_ok")).cast("long")), F.lit(0)).alias("parts_unsynced"),
+        )
     msg_field = cfg.resolve_message_field(df.columns)
     coalesce = coalesce_partials if cfg.fuse_coalesce else coalesce_segments
     routed = with_sink(with_out_tag(coalesce(seg, cfg, msg_field), cfg))
-    # write once, then aggregate from the durable output (cheaper than
-    # persisting megabytes of combined text through the memory store, and the
-    # counts provably describe what was written)
+    sink_obs = Observation(f"sink_counts_{bucket}")
+    routed = routed.observe(
+        sink_obs,
+        *[
+            F.coalesce(F.sum((F.col("sink") == s).cast("long")), F.lit(0)).alias(s)
+            for s in SINKS
+        ],
+    )
     out_path = f"{out_dir}/routed/bucket={bucket}"
     routed.write.mode("overwrite").partitionBy("sink").parquet(out_path)
-    written = spark.read.parquet(out_path)
-    counts = {r["sink"]: r["n"] for r in sink_counts(written).collect()}
+    counts = {s: int(n) for s, n in sink_obs.get.items() if n}
+    metrics = {k: int(v) for k, v in seg_obs.get.items()}
     n_routed = sum(counts.values())
-    # lineage + metrics (cheap second pass over this bucket's slice)
-    input_lineage(df).write.mode("overwrite").parquet(
+    # lineage: separate narrow pass (needs per-input-file grouping, which an
+    # observation cannot express); column-pruned to (conv_id, turn_idx)
+    input_lineage(df.select(cfg.conv_col, cfg.order_col)).write.mode("overwrite").parquet(
         f"{out_dir}/lineage/bucket={bucket}"
     )
-    partition_metrics(segment(df, cfg, rules)).write.mode("overwrite").parquet(
-        f"{out_dir}/metrics/bucket={bucket}"
-    )
+    spark.createDataFrame(
+        [dict(metrics, bucket=bucket, rows_out=n_routed)]
+    ).write.mode("overwrite").parquet(f"{out_dir}/metrics/bucket={bucket}")
     return {
         "rows_out": n_routed,
         "sink_counts": counts,
+        "metrics": metrics,
         "seconds": round(time.perf_counter() - t0, 3),
     }
 
@@ -113,7 +144,10 @@ def main(argv=None) -> None:
     rules = compile_rules(cfg.languages)
     ckpt_dir = args.checkpoint_dir or f"{args.output}/_checkpoint"
     manifest = BucketManifest(ckpt_dir)
-    done = manifest.completed()
+    # refuse to resume across a --buckets or config change (ADVICE r1):
+    # bucket ids are only comparable under the same partitioning + semantics
+    fp = config_fingerprint(cfg, args.buckets)
+    done = manifest.completed(fingerprint=fp)
     run_id = uuid.uuid4().hex[:12]
 
     src = read_transcripts(spark, args.input)
@@ -127,7 +161,7 @@ def main(argv=None) -> None:
             spark, src.filter(F.col("__bucket") == b).drop("__bucket"),
             cfg, rules, args.output, b,
         )
-        manifest.mark_done(b, dict(info, run_id=run_id))
+        manifest.mark_done(b, dict(info, run_id=run_id), fingerprint=fp)
         for k, v in info["sink_counts"].items():
             totals[k] = totals.get(k, 0) + v
 

@@ -6,14 +6,17 @@ Two small tables per run, written next to the job output:
 * ``lineage``: one row per *input file* — which source files fed the run and
   how many turns each contributed (``input_file_name()`` at scan time, before
   any shuffle destroys provenance);
-* ``metrics``: one row per *output shuffle partition* — rows in/out, segments
-  started, records emitted/dropped, per-sink counts feeding the aggregate
-  equality check.
+* ``metrics``: segmentation-stage stats — the job path derives them as
+  *observed metrics* riding the routed write (``DataFrame.observe`` /
+  CollectMetricsExec: computed in-plan, exactly-once under task retries, one
+  row per resumable bucket), so the classify+FSM stage runs exactly once per
+  bucket.  ``partition_metrics`` below is the standalone per-shuffle-partition
+  variant for analyses that want finer granularity (it re-runs the stage).
 
-Both are derived with plain aggregations over columns the pipeline already
-carries — no side channels, no accumulators, so they are exactly consistent
-with the data written (an accumulator-based counter can double-count retried
-tasks; an aggregation cannot).
+Both are derived from columns the pipeline already carries — no side
+channels, no accumulators, so they are exactly consistent with the data
+written (an accumulator-based counter can double-count retried tasks; an
+in-plan aggregation cannot).
 """
 
 from __future__ import annotations

@@ -151,6 +151,15 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None):
         seg = np.cumsum(res.seg_start)
         row_lang = STATE_FAMILY_ID[res.state_after]
 
+        # A carried-open segment whose first continuation row starts a NEW
+        # segment (status no_trace/start_trace, a nil message, or a gap
+        # flush) closes with no rows in this batch: seg==0 is then empty and
+        # the loop below would never visit it.  Emit it here as a closed
+        # record (reference: the pending buffer force-flushes before such a
+        # row — exception_detector.rb:335-356).
+        if opened and cnt > 0 and bool(res.seg_start[0]):
+            rows.append(_mk_out(conv, ft, fr_, fo, fts, msgs, cnt, lang_id))
+
         # rows with seg==0 continue the carried-open segment from state
         for sid in range(0, int(seg[-1]) + 1):
             mask = (seg == sid) & res.emit

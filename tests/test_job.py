@@ -69,3 +69,15 @@ def test_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
     assert sorted(done2) == [0, 1, 2]
     routed2 = spark.read.parquet(f"{out}/routed")
     assert routed2.count() == direct.count()
+
+    # resume under a different --buckets or config must refuse (ADVICE r1):
+    # old bucket ids under a new partitioning would drop/duplicate convs
+    import pytest
+
+    from fluent_plugin_detect_exceptions_spark.checkpoint import ManifestMismatch
+
+    with pytest.raises(ManifestMismatch):
+        jobmod.main(["--input", src, "--output", out, "--buckets", "5",
+                     "--remove-tag-prefix", "conv"])
+    with pytest.raises(ManifestMismatch):
+        jobmod.main(argv + ["--max-lines", "7"])

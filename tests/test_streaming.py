@@ -35,15 +35,32 @@ def run_stream(spark, src_dir, ckpt, cfg, schema):
     return spark.sql("select * from routed_stream")
 
 
+def _write_turn_sliced(df, src: str, n_slices: int, slice_width: int) -> None:
+    """One file per turn range, with strictly increasing mtimes so the file
+    stream delivers them in turn order: open traces genuinely span
+    micro-batches (ADVICE r1: a conv-hash split never exercises the
+    ScanCarry/open-segment path)."""
+    import glob
+    import time as _t
+
+    for i in range(n_slices):
+        lo, hi = i * slice_width, (i + 1) * slice_width
+        cond = (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+        if i == n_slices - 1:
+            cond = F.col("turn_idx") >= lo
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{src}/part={i}")
+        now = _t.time() + i  # monotone mtimes, second granularity
+        for p in glob.glob(f"{src}/part={i}/*.parquet"):
+            os.utime(p, (now, now))
+
+
 def test_streaming_equals_batch(spark, tmp_path):
     df = synth_transcripts(spark, 8, repeats=2)
     src = str(tmp_path / "src")
-    # write one file per conversation-ish slice so state must persist across
-    # micro-batches (maxFilesPerTrigger=1)
-    for i in range(4):
-        df.filter(F.crc32(F.col("conv_id").cast("binary")) % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{src}/part={i}")
+    # split by turn ranges so open traces span micro-batch boundaries
+    # (maxFilesPerTrigger=1 → one turn-slice per micro-batch)
+    max_turn = df.agg(F.max("turn_idx")).first()[0]
+    _write_turn_sliced(df, src, 4, (int(max_turn) // 4) + 1)
     full = spark.read.parquet(f"{src}/part=*")
     assert full.count() == df.count()
 
@@ -67,6 +84,30 @@ def test_streaming_equals_batch(spark, tmp_path):
     missing_convs = {w[0] for w in open_tail}
     assert len(open_tail) <= len(missing_convs) * 1  # at most the final open segment per conv
     assert len(got) + len(open_tail) == len(want)
+
+
+def test_streaming_carried_segment_closed_by_next_batch(spark, tmp_path):
+    """Regression (ADVICE r1, high): a trace open at a micro-batch boundary
+    whose NEXT batch starts with a segment-starting row (plain line) must be
+    emitted, not silently dropped."""
+    rows = [
+        ("c1", 0, "user", "java.lang.RuntimeException: boom\n", "t0", 1000),
+        ("c1", 1, "assistant", "\tat com.example.Foo.bar(Foo.java:1)\n", "t0", 1001),
+        ("c1", 2, "user", "a plain line\n", "t0", 1002),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    src = str(tmp_path / "src")
+    _write_turn_sliced(df, src, 2, 2)  # file 0: turns 0-1 (open trace), file 1: turn 2
+    got_df = run_stream(spark, f"{src}/part=*", str(tmp_path / "ckpt"), PipelineConfig(), df.schema)
+    got = {r["first_turn_idx"]: (r["text"], r["n_lines"], r["sink"]) for r in got_df.collect()}
+    assert got[0] == (
+        "java.lang.RuntimeException: boom\n\tat com.example.Foo.bar(Foo.java:1)\n",
+        2,
+        "lang_java",
+    )
+    assert got[2] == ("a plain line\n", 1, "passthrough")
 
 
 def test_streaming_within_single_batch_exact(spark, tmp_path):
