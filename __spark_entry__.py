@@ -166,8 +166,7 @@ def _q_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pipeline_max_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # O10/O11 limits (rows-only check: the repair-loop semantics are not
-    # SQL-expressible; exactness is covered by the oracle differential tests)
+    # O11 max_lines post-check (oracle: recursive CTE carrying line counts)
     df = synth_transcripts(spark, 20, 1)
     cfg = PipelineConfig(max_lines=3, fuse_coalesce=True)
     routed = detect_exceptions(df, cfg)
@@ -176,8 +175,19 @@ def _q_pipeline_max_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_max_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O10 max_bytes pre-check (oracle: recursive CTE carrying buffer chars)
+    df = synth_transcripts(spark, 20, 1)
+    cfg = PipelineConfig(max_lines=0, max_bytes=160)
+    routed = detect_exceptions(df, cfg)
+    return routed.select(
+        "conv_id", "first_turn_idx", "text", "n_lines", "lang", "sink"
+    )
+
+
 def _q_pipeline_flb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # O12 force_line_breaks (rows-only)
+    # O12 force_line_breaks (oracle: newline-prepend in the concat member
+    # expression; input strips trailing newlines so the prepend fires)
     df = synth_transcripts(spark, 10, 1).withColumn(
         "text", F.regexp_replace("text", r"\n$", "")
     )
@@ -228,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exception_pipeline": _q_exception_pipeline,
         "events_scan": _q_events_scan,
         "pipeline_max_lines": _q_pipeline_max_lines,
+        "pipeline_max_bytes": _q_pipeline_max_bytes,
         "pipeline_force_line_breaks": _q_pipeline_flb,
         "pipeline_timeout_gap": _q_pipeline_timeout,
         "simhash_buckets": _q_simhash,
@@ -247,12 +258,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_LIMITS_FINAL = f"""
+SELECT conv_id, first_turn_idx, text, n_lines,
+       {O.LANG_CASE} AS lang,
+       CASE WHEN {O.LANG_CASE} IS NOT NULL THEN 'lang_' || {O.LANG_CASE}
+            ELSE 'passthrough' END AS sink
+FROM grouped"""
+
+_FLB_FINAL = f"""
+SELECT conv_id, first_turn_idx, text, n_lines, {O.LANG_CASE} AS lang
+FROM grouped"""
+
+
 def oracle_sql() -> dict[str, str]:
-    # pipeline_max_lines / force_line_breaks, simhash_buckets and
-    # ann_lsh_topk are intentionally omitted: their semantics are not
-    # reasonably SQL-expressible (stateful repair loop / 64-bit bit-vote /
-    # float hyperplane LSH), so the driver records rows-only checks;
-    # exactness is guaranteed by the oracle differential tests instead.
     return {
         "exception_pipeline": O.pipeline_sql(N_CONVS, REPEATS),
         "pipeline_timeout_gap": O.pipeline_sql(
@@ -260,6 +278,17 @@ def oracle_sql() -> dict[str, str]:
             REPEATS,
             gap_interval=5,
             ts_extra="CASE WHEN l.turn_idx % 8 = 0 THEN 10 ELSE 0 END",
+        ),
+        "pipeline_max_lines": O.pipeline_sql(
+            20, 1, max_lines=3, final_select=_LIMITS_FINAL
+        ),
+        "pipeline_max_bytes": O.pipeline_sql(
+            20, 1, max_bytes=160, final_select=_LIMITS_FINAL
+        ),
+        "pipeline_force_line_breaks": O.pipeline_sql(
+            10, 1, force_line_breaks=True, max_lines=1000,
+            final_select=_FLB_FINAL,
+            text_expr=r"regexp_replace(l.text, '\n$', '')",
         ),
         "events_scan": """
 SELECT event_id, user_id,

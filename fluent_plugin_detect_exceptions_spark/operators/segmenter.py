@@ -136,11 +136,21 @@ def _scan_core(pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules,
     group_ends = np.append(group_starts[1:], n)
 
     # per group: find the scan start (after the warm-up sync point)
+    chunk_ids = pdf["chunk_id"].to_numpy() if "chunk_id" in pdf else np.zeros(n, np.int64)
     scan_ranges = []
     sync_ok = np.ones(n, dtype=bool)
     for gs, ge in zip(group_starts, group_ends):
         nwarm = int(warm[gs:ge].sum())  # warm-up rows sort first (lower turn)
         if nwarm == 0:
+            # A chunk>0 group with NO warm-up rows means the zone turn range
+            # before its boundary was empty — either the conversation starts
+            # mid-chunk (forced reset is exact) or a turn_idx hole wider than
+            # `warmup` spans the boundary (carried FSM/buffer state would be
+            # silently split).  The two are indistinguishable partition-
+            # locally, so flag conservatively (ADVICE r1): never report an
+            # unverifiable scan as synced.
+            if chunk_ids[gs] > 0:
+                sync_ok[gs:ge] = False
             scan_ranges.append((gs, ge))
             continue
         j = fsm.subset_sync(cls[gs : gs + nwarm], g_tab)

@@ -48,10 +48,13 @@ def _start_match_case(rules: CompiledRules, text: str) -> str:
     return f"(CASE {inner} ELSE {q(START_STATE)} END)"
 
 
-def transcripts_cte(n_convs: int, repeats: int = 1, ts_extra: str = "0") -> str:
+def transcripts_cte(n_convs: int, repeats: int = 1, ts_extra: str = "0",
+                    text_expr: str = "l.text") -> str:
     """CTE block `lines`, `t` — byte-identical to synth_transcripts().
     ``ts_extra`` is a SQL expression over ``l.turn_idx`` added to the
-    timestamp (used to synthesize deterministic event-time gaps)."""
+    timestamp (used to synthesize deterministic event-time gaps);
+    ``text_expr`` transforms the message text (e.g. trailing-newline strip
+    for the force_line_breaks gate query)."""
     rows = scenario_lines(repeats)
     values = ",\n    ".join(f"({scn}, {turn}, {q(text)})" for scn, turn, text in rows)
     return f"""
@@ -64,7 +67,7 @@ t AS (
   SELECT 'conv.' || lpad(CAST(c.c AS VARCHAR), 6, '0') AS conv_id,
          l.turn_idx,
          CASE WHEN l.turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-         l.text,
+         ({text_expr}) AS text,
          'tool' || CAST(l.turn_idx % 3 AS VARCHAR) AS tool,
          CAST({BASE_EPOCH} + l.turn_idx + ({ts_extra}) AS BIGINT) AS ts
   FROM (SELECT range AS c FROM range({n_convs})) c
@@ -82,27 +85,7 @@ LANG_CASE = (
 )
 
 
-def pipeline_sql(n_convs: int, repeats: int = 1, languages=("all",),
-                 remove_tag_prefix: str | None = "conv",
-                 final_select: str | None = None,
-                 gap_interval: float | None = None,
-                 ts_extra: str = "0") -> str:
-    """Full oracle for the exception pipeline (no buffer limits; the
-    correctness-gate configuration).  ``gap_interval`` enables the O13
-    event-time flush: a gap > interval forces flush+reset *before* the row —
-    the recursive step then transitions from start_state and the row raises
-    a start-of-block flag."""
-    rules = compile_rules(languages)
-    if gap_interval is None:
-        eff_state = "s.state"
-        gap_expr = "FALSE"
-    else:
-        gap_expr = f"(t2.ts - s.ts) > {gap_interval}"
-        eff_state = f"(CASE WHEN {gap_expr} THEN {q(START_STATE)} ELSE s.state END)"
-    s1_rec = _first_match_case(rules, eff_state, "t2.text")
-    start_rec = _start_match_case(rules, "t2.text")
-    s1_base = _start_match_case(rules, "text")
-    first_base = _first_match_case(rules, q(START_STATE), "text")
+def _final_select(remove_tag_prefix: str | None) -> str:
     import re as _re
 
     out_tag = (
@@ -110,14 +93,54 @@ def pipeline_sql(n_convs: int, repeats: int = 1, languages=("all",),
         if remove_tag_prefix
         else "conv_id"
     )
-    final = final_select or f"""
+    return f"""
 SELECT conv_id, first_turn_idx, role, tool, ts, text, n_lines,
        {LANG_CASE} AS lang,
        CASE WHEN {LANG_CASE} IS NOT NULL THEN 'lang_' || {LANG_CASE} ELSE 'passthrough' END AS sink,
        {out_tag} AS out_tag
 FROM grouped"""
-    return f"""WITH RECURSIVE
-{transcripts_cte(n_convs, repeats, ts_extra)},
+
+
+def pipeline_sql(n_convs: int, repeats: int = 1, languages=("all",),
+                 remove_tag_prefix: str | None = "conv",
+                 final_select: str | None = None,
+                 gap_interval: float | None = None,
+                 ts_extra: str = "0",
+                 max_lines: int = 0,
+                 max_bytes: int = 0,
+                 force_line_breaks: bool = False,
+                 text_expr: str = "l.text") -> str:
+    """Full oracle for the exception pipeline.  ``gap_interval`` enables the
+    O13 event-time flush: a gap > interval forces flush+reset *before* the
+    row — the recursive step then transitions from start_state and the row
+    raises a start-of-block flag.
+
+    With ``max_lines``/``max_bytes``/``force_line_breaks`` the recursion also
+    carries the buffer's (line count, char size): the max_bytes pre-check
+    force-flushes *before* the FSM update and the max_lines post-check
+    *after* it, both with an FSM reset (exception_detector.rb:284-291); the
+    reset lands before the next row exactly like the Spark repair loop
+    (operators/fsm.py).  force_line_breaks prepends a newline to non-first
+    buffered lines lacking one (exception_detector.rb:366-371) — both in the
+    concat member expression and in the byte accounting."""
+    rules = compile_rules(languages)
+    general = max_lines > 0 or max_bytes > 0 or force_line_breaks
+    final = final_select or _final_select(remove_tag_prefix)
+    gap_expr = "FALSE" if gap_interval is None else f"(t2.ts - s.ts) > {gap_interval}"
+    start_rec = _start_match_case(rules, "t2.text")
+    s1_base = _start_match_case(rules, "text")
+    first_base = _first_match_case(rules, q(START_STATE), "text")
+    cte = transcripts_cte(n_convs, repeats, ts_extra, text_expr)
+
+    if not general:
+        eff_state = (
+            "s.state"
+            if gap_interval is None
+            else f"(CASE WHEN {gap_expr} THEN {q(START_STATE)} ELSE s.state END)"
+        )
+        s1_rec = _first_match_case(rules, eff_state, "t2.text")
+        return f"""WITH RECURSIVE
+{cte},
 scan AS (
   SELECT conv_id, turn_idx, role, tool, ts, text,
          ({first_base}) IS NOT NULL AS matched,
@@ -162,6 +185,102 @@ grouped AS (
          CAST(count(*) AS BIGINT) AS n_lines,
          arg_min(state, turn_idx) AS first_state
   FROM segs
+  GROUP BY conv_id, seg
+)
+{final}"""
+
+    # --- general form: buffer counters carried through the recursion -------
+    # NB: every intermediate alias is __-prefixed — DuckDB binds a bare name
+    # to a real column of the recursive table `scan` BEFORE a same-SELECT
+    # lateral alias, so aliases must never collide with scan's schema (or
+    # they silently read the previous row's value).
+    flb = "TRUE" if force_line_breaks else "FALSE"
+    fm_rec = _first_match_case(rules, "__eff", "t2.text")
+    preforce = (
+        f"(NOT __gap AND s.cnt > 0 AND s.nbytes + length(t2.text) > {max_bytes})"
+        if max_bytes > 0
+        else "FALSE"
+    )
+    postforce = f"(__cnt1 = {max_lines})" if max_lines > 0 else "FALSE"
+    # shared tail of both members: status -> byte/line accounting -> limits.
+    # DuckDB lateral column aliases let each value build on the previous one.
+    acct = f"""
+         CASE WHEN __fm IS NOT NULL AND __state <> 'start_state' THEN 'inside'
+              WHEN __fm IS NOT NULL THEN 'end'
+              WHEN __state <> 'start_state' THEN 'start'
+              ELSE 'no' END AS __status,
+         CAST(length(__text) + CASE WHEN {flb} AND __pcnt > 0
+                                   AND NOT contains(__text, chr(10))
+                              THEN 1 ELSE 0 END AS BIGINT) AS __addlen,
+         CAST(CASE WHEN __status = 'inside' THEN __pcnt + 1
+                   WHEN __status = 'start' THEN 1 ELSE 0 END AS BIGINT) AS __cnt1,
+         CAST(CASE WHEN __status = 'inside' THEN __pnb + __addlen
+                   WHEN __status = 'start' THEN __addlen ELSE 0 END AS BIGINT) AS __nb1,
+         ({postforce}) AS __post"""
+    emit = f"""{acct},
+         __gap AS gap, __pre AS preforce, __fm AS fm_state, __state AS state,
+         __status AS status, __post AS postforce,
+         CASE WHEN __post THEN 0 ELSE __cnt1 END AS cnt,
+         CASE WHEN __post THEN 0 ELSE __nb1 END AS nbytes"""
+    return f"""WITH RECURSIVE
+{cte},
+scan AS (
+  SELECT conv_id, turn_idx, role, tool, ts, __text AS text,{emit}
+  FROM (
+    SELECT conv_id, turn_idx, role, tool, ts, text AS __text,
+           FALSE AS __gap, FALSE AS __pre,
+           CAST(0 AS BIGINT) AS __pcnt, CAST(0 AS BIGINT) AS __pnb,
+           ({first_base}) AS __fm,
+           COALESCE(__fm, {s1_base}) AS __state
+    FROM t WHERE turn_idx = 0
+  ) b
+  UNION ALL
+  SELECT conv_id, turn_idx, role, tool, ts, __text AS text,{emit}
+  FROM (
+    SELECT t2.conv_id AS conv_id, t2.turn_idx AS turn_idx, t2.role AS role,
+           t2.tool AS tool, t2.ts AS ts, t2.text AS __text,
+           ({gap_expr}) AS __gap,
+           ({preforce}) AS __pre,
+           CASE WHEN __gap OR __pre THEN 0 ELSE s.cnt END AS __pcnt,
+           CASE WHEN __gap OR __pre THEN 0 ELSE s.nbytes END AS __pnb,
+           CASE WHEN __gap OR __pre OR s.postforce
+                THEN {q(START_STATE)} ELSE s.state END AS __eff,
+           ({fm_rec}) AS __fm,
+           COALESCE(__fm, {start_rec}) AS __state
+    FROM scan s JOIN t t2
+      ON t2.conv_id = s.conv_id AND t2.turn_idx = s.turn_idx + 1
+  ) r
+),
+flags AS (
+  SELECT *,
+    CASE WHEN gap OR preforce OR status IN ('no', 'start')
+           OR COALESCE(lag(status) OVER w, 'no') IN ('no', 'end')
+           OR COALESCE(lag(postforce) OVER w, FALSE)
+         THEN 1 ELSE 0 END AS flag
+  FROM scan
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+segs AS (
+  SELECT *, sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seg
+  FROM flags
+),
+members AS (
+  SELECT *, CASE WHEN {flb} AND turn_idx > min(turn_idx) OVER sw
+                  AND NOT contains(text, chr(10))
+             THEN chr(10) || text ELSE text END AS member
+  FROM segs
+  WINDOW sw AS (PARTITION BY conv_id, seg)
+),
+grouped AS (
+  SELECT conv_id,
+         CAST(min(turn_idx) AS BIGINT) AS first_turn_idx,
+         arg_min(role, turn_idx) AS role,
+         arg_min(tool, turn_idx) AS tool,
+         arg_min(ts, turn_idx) AS ts,
+         string_agg(member, '' ORDER BY turn_idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         arg_min(state, turn_idx) AS first_state
+  FROM members
   GROUP BY conv_id, seg
 )
 {final}"""

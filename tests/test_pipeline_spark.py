@@ -289,6 +289,40 @@ def test_window_segment_ids_equal_seg_start_turn(spark):
     assert sorted(by_window.values(), key=sorted) == sorted(by_sst.values(), key=sorted)
 
 
+def test_turn_hole_spanning_chunk_boundary_flags_unsynced(spark):
+    """ADVICE r1: a turn_idx hole wider than `warmup` across a chunk boundary
+    leaves the warm-up zone empty — the chunk scan can't prove its forced
+    reset is exact, so its rows must carry sync_ok=False (never report an
+    unverifiable scan as synced).  A continuous conversation in the same run
+    stays fully synced."""
+    hole_rows = [
+        {"conv_id": "hole", "turn_idx": i, "role": "u", "text": t, "tool": "t",
+         "ts": BASE_EPOCH + i}
+        for i, t in enumerate(fx.lines(fx.JAVA_EXC))
+    ] + [
+        {"conv_id": "hole", "turn_idx": 100, "role": "u", "text": "plain\n",
+         "tool": "t", "ts": BASE_EPOCH + 100}
+    ]
+    cont_rows = [
+        {"conv_id": "cont", "turn_idx": i, "role": "u", "text": "line %d\n" % i,
+         "tool": "t", "ts": BASE_EPOCH + i}
+        for i in range(131)
+    ]
+    df = spark.createDataFrame(hole_rows + cont_rows).withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    cfg = PipelineConfig(chunk_size=64, warmup=8)
+    routed = detect_exceptions(df, cfg)
+    flagged = routed.filter(~F.col("sync_ok")).collect()
+    assert {r["conv_id"] for r in flagged} == {"hole"}
+    assert all(r["first_turn_idx"] >= 100 for r in flagged)
+    # the continuous conv is chunk-scanned with warm-up sync and stays exact
+    cont = sorted(
+        (r["first_turn_idx"], r["text"]) for r in routed.filter(F.col("conv_id") == "cont").collect()
+    )
+    assert len(cont) == 131 and all(t == "line %d\n" % ft for ft, t in cont)
+
+
 def test_sparse_turn_idx(spark):
     # turn numbering with holes (input_hint promises dense, but the engine
     # must not corrupt ordering if upstream deletes turns)
