@@ -216,8 +216,8 @@ def _q_pipeline_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SimHash near-dup buckets (rows-only: 64-bit-vote aggregate not
-    # worth mirroring in SQL; determinism covered by repeatability)
+    # SimHash near-dup buckets (oracle: 60 bit-vote CASE terms over
+    # md5-hashed token lists — bit-identical to the pandas stage)
     return D.simhash_near_dups(_docs(spark, sf_dir), prefix_bits=8)
 
 
@@ -227,7 +227,8 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hyperplane-LSH bucketed ANN (rows-only; brute-force top-k has the oracle)
+    # hyperplane-LSH bucketed ANN (oracle: embedded plane literals + same
+    # bucket restriction; the materialized-index form is ann_topk_indexed)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return S.lsh_bucketed_topk(emb, qv, k=10)
@@ -307,4 +308,6 @@ FROM events WHERE event_type = 'error'""",
         "fingerprint": O.FINGERPRINT_SQL,
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
+        "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),
+        "ann_lsh_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
     }

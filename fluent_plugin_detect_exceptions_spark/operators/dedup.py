@@ -190,19 +190,45 @@ def lsh_candidate_buckets(
     )
 
 
+DEFAULT_MAX_BUCKET = 256
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_millis: int = 500,
     k: int = DEFAULT_SHINGLE_K,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     **kw,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact shingle
     Jaccard (integerized to 1/1000ths).  The self-join runs only inside LSH
-    buckets — never all-pairs."""
+    buckets — never all-pairs.
+
+    Scale shape: shingles are hashed to int64 (the portable md5 scheme)
+    BEFORE the pair join, so the verify shuffle carries fixed-width bigint
+    arrays instead of raw shingle strings (~4-8x narrower); the intersection
+    is the JVM-optimized ``array_intersect`` (sets are distinct by
+    construction; an in-doc hash collision merges identically in the DuckDB
+    oracle since the hash scheme is shared).  Degenerate band keys (e.g.
+    thousands of near-empty docs sharing a signature band) are capped at
+    ``max_bucket`` docs — a poisoned bucket would otherwise go quadratic;
+    dropped buckets are that large ONLY for pathological/empty content."""
     bands = minhash_bands(df, text_col, id_col, **kw)
-    docs = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    if max_bucket:
+        sizes = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        bands = bands.join(sizes, ["band_id", "band_key"]).filter(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
+    docs = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), stable_hash64)
+        ).alias("sh"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -218,7 +244,7 @@ def jaccard_pairs(
     da = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(da, "id_a").join(db, "id_b")
-    inter = F.size(F.filter("sh_a", lambda x: F.array_contains(F.col("sh_b"), x)))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.floor(1000.0 * inter / union).cast("long")
     return joined.select("id_a", "id_b", jac.alias("jaccard_millis")).filter(
@@ -226,32 +252,69 @@ def jaccard_pairs(
     )
 
 
-def simhash64(text_col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens of the normalized text.
+def simhash_signatures_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): 60-bit SimHash over whitespace tokens of the normalized
+    text, as ONE Arrow-batched pandas stage with per-batch token interning.
 
-    Bit b of the signature is 1 iff the sum over tokens of
-    ``(token_hash >> b) & 1 ? +1 : -1`` is positive.  Token hashes are the
-    portable 60-bit md5 hash, so bits 60..63 are always the minority vote —
-    harmless (constant across engines).
-    """
-    toks = F.split(normalized(text_col), " ")
-    hashes = F.transform(toks, stable_hash64)
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(60)
-    ]
-    out = F.lit(0).cast("long")
-    for bcol in bits:
-        out = out + bcol
-    return out
+    Bit b of the signature is 1 iff the sum over token *occurrences* of
+    ``(token_hash >> b) & 1 ? +1 : -1`` is strictly positive.  Token hashes
+    are the portable 60-bit md5 hash (functions.text.stable_hash64), so the
+    DuckDB oracle (plans/oracle_sql.simhash_buckets_sql) is bit-identical.
+
+    Replaces the former 60-pass ``F.aggregate`` column expression (one
+    interpreted higher-order traversal per bit); here all 64 bits come out of
+    a single numpy pass: distinct tokens hashed once per batch, a (vocab, 60)
+    ±1 vote matrix, and ``np.add.reduceat`` over per-doc occurrence runs."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("simhash", LongType(), False)]
+    )
+
+    def compute(batches):
+        import re as _re
+
+        ws = _re.compile(r"\s+")
+        weights = np.int64(1) << np.arange(60, dtype=np.int64)
+        shifts = np.arange(60, dtype=np.uint64)
+        for pdf in batches:
+            texts = pdf[text_col]
+            vocab: dict[str, int] = {}
+            doc_tokens = []
+            for t in texts:
+                base = ws.sub(" ", t.lower()).strip() if isinstance(t, str) else ""
+                toks = base.split(" ")
+                doc_tokens.append(
+                    np.fromiter(
+                        (vocab.setdefault(tok, len(vocab)) for tok in toks),
+                        dtype=np.intp,
+                        count=len(toks),
+                    )
+                )
+            hv = np.empty(max(len(vocab), 1), dtype=np.uint64)
+            for s, i in vocab.items():
+                d = hashlib.md5(s.encode()).digest()
+                hv[i] = int.from_bytes(d[:8], "big") >> 4
+            # (vocab, 60) vote matrix in {-1, +1}
+            bits = (((hv[:, None] >> shifts) & 1).astype(np.int64) * 2) - 1
+            if doc_tokens:
+                lens = [len(x) for x in doc_tokens]
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.intp)
+                all_ids = np.concatenate(doc_tokens)
+                votes = np.add.reduceat(bits[all_ids], offsets, axis=0)
+                sim = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
+            else:
+                sim = np.empty(0, dtype=np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sim})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
 
 
 def simhash_near_dups(
@@ -259,10 +322,9 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Bucket by the low ``prefix_bits`` of the simhash (one LSH table);
     buckets with >1 doc are near-dup candidates."""
-    sh = simhash64(F.col(text_col))
+    sigs = simhash_signatures_df(df, text_col, id_col)
     return (
-        df.select(F.col(id_col), sh.alias("simhash"))
-        .withColumn("bucket", F.col("simhash").bitwiseAND(F.lit((1 << prefix_bits) - 1)))
+        sigs.withColumn("bucket", F.col("simhash").bitwiseAND(F.lit((1 << prefix_bits) - 1)))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
         .filter(F.col("n_docs") > 1)

@@ -77,6 +77,20 @@ def lsh_bucket_expr(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def query_signature(query_vec: list[float], n_planes: int = 8) -> int:
+    """Hyperplane signature of a query vector (driver-side, sequential
+    double sums — same fold order as the column expression)."""
+    dim = len(query_vec)
+    qsig = 0
+    for p in range(n_planes):
+        s = 0.0
+        for qv, x in zip(query_vec, _hyperplane(dim, p)):
+            s += qv * x
+        if s > 0:
+            qsig |= 1 << p
+    return qsig
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -85,15 +99,48 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     n_planes: int = 8,
 ) -> DataFrame:
-    """ANN: search only the query's hyperplane bucket.  At cluster scale the
-    bucket column is a partition/cluster key, so this prunes ~2^n_planes of
-    the data before any distance math."""
+    """ANN over an UNINDEXED table: compute each row's hyperplane bucket on
+    the fly and search only the query's bucket.  This still scans every row
+    (n_planes dot products each) — it is the one-shot/ad-hoc form.  For
+    repeated queries at scale, materialize the buckets once with
+    ``build_lsh_index`` and use ``ann_topk_indexed``: the bucket becomes a
+    partition key and the scan reads ~1/2^n_planes of the data."""
     dim = len(query_vec)
     bucket = lsh_bucket_expr(F.col(vec_col), dim, n_planes)
-    qsig = 0
-    for p in range(n_planes):
-        s = sum(q * x for q, x in zip(query_vec, _hyperplane(dim, p)))
-        if s > 0:
-            qsig |= 1 << p
+    qsig = query_signature(query_vec, n_planes)
     cand = df.withColumn("__bucket", bucket).filter(F.col("__bucket") == qsig)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> None:
+    """Materialize hyperplane-LSH buckets as a parquet table PARTITIONED BY
+    the bucket: one directory per signature.  ANN queries against the index
+    read only the query's partition — the scan is pruned at planning time
+    (PartitionFilters on __bucket), which is what makes this ANN rather than
+    brute-force-with-extra-steps at 100 TB."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    out = df.withColumn("__bucket", lsh_bucket_expr(F.col(vec_col), dim, n_planes))
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
+def ann_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k within the query's materialized LSH partition."""
+    qsig = query_signature(query_vec, n_planes)
+    cand = spark.read.parquet(index_path).filter(F.col("__bucket") == qsig)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -435,6 +435,27 @@ SELECT band_id, band_key,
 FROM bands GROUP BY band_id, band_key HAVING count(*) > 1"""
 
 
+def simhash_buckets_sql(prefix_bits: int = 8) -> str:
+    """Bit-identical mirror of operators.dedup.simhash_signatures_df /
+    simhash_near_dups: 60-bit SimHash by per-bit ±1 vote over whitespace
+    token occurrences of the normalized text, token-hashed with the portable
+    md5 scheme; bucket = low ``prefix_bits``; emit buckets holding >1 doc."""
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    toks = f"string_split({norm}, ' ')"
+    hs = f"list_transform({toks}, t -> {_hash64_sql('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {hs} AS hs FROM documents),
+sims AS (SELECT doc_id, ({bit_terms}) AS simhash FROM toks),
+buckets AS (SELECT doc_id, simhash & {(1 << prefix_bits) - 1} AS bucket FROM sims)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id
+FROM buckets GROUP BY bucket HAVING count(*) > 1"""
+
+
 def embedding_topk_sql(k: int = 10) -> str:
     dq = "list_transform((SELECT embedding FROM embeddings WHERE vec_id = 0), x -> CAST(x AS DOUBLE))"
     return f"""
@@ -451,11 +472,46 @@ SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
 FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
 
 
+def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
+    """Mirror of operators.similarity.lsh_bucketed_topk: per-row hyperplane
+    bucket from the embedded md5-derived plane literals (values are exact
+    dyadic rationals, so the literals round-trip bit-exactly), restrict to
+    the bucket of vec_id=0's vector, exact cosine top-k inside it."""
+    from ..operators.similarity import _hyperplane
+
+    def bucket_of(emb: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({emb}, {lit}) > 0 "
+                f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return " + ".join(terms)
+
+    emb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH b AS (
+  SELECT vec_id, {emb} AS e, ({bucket_of(emb)}) AS bucket FROM embeddings
+),
+qv AS (SELECT e AS q, bucket AS qb FROM b WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(e, q) / sqrt(list_dot_product(e, e))
+           / sqrt(list_dot_product(q, q)) AS sim
+  FROM b, qv WHERE b.bucket = qv.qb
+)
+SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
+
+
 def jaccard_pairs_sql(threshold_millis: int = 100, num_hashes: int = 8,
-                      band_size: int = 2, k: int = 5) -> str:
+                      band_size: int = 2, k: int = 5,
+                      max_bucket: int = 256) -> str:
     """LSH candidate pairs verified by exact shingle Jaccard, mirroring
     operators.dedup.jaccard_pairs: candidates from shared (band_id,
-    band_key), intersection via filter+contains over distinct shingle sets,
+    band_key) in buckets of at most ``max_bucket`` docs, intersection via
+    ``list_intersect`` over md5-int64-hashed distinct shingle sets,
     integerized to 1/1000ths with the same floor(1000.0*i/u) double math."""
     sigs = [
         f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
@@ -471,18 +527,30 @@ def jaccard_pairs_sql(threshold_millis: int = 100, num_hashes: int = 8,
             f"SELECT doc_id, {b} AS band_id, md5({key_parts}) AS band_key FROM sigs"
         )
     union = "\nUNION ALL\n".join(band_selects)
+    cap = (
+        f"""
+capped AS (
+  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {max_bucket}
+),"""
+        if max_bucket
+        else """
+capped AS (SELECT * FROM bands),"""
+    )
     return f"""
-WITH sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
-sigs AS (SELECT doc_id, {', '.join(sigs)} FROM sh),
-bands AS ({union}),
+WITH sh AS (SELECT doc_id, list_distinct(list_transform({_shingle_sql(k)},
+                                          s -> {_hash64_sql('s')})) AS sh
+            FROM documents),
+shs AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
+sigs AS (SELECT doc_id, {', '.join(sigs)} FROM shs),
+bands AS ({union}),{cap}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 j AS (
   SELECT c.id_a, c.id_b,
-         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
          len(sa.sh) AS na, len(sb.sh) AS nb
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a

@@ -1,0 +1,87 @@
+"""Similarity-search and dedup operator tests: materialized ANN index
+(partition pruning evidence), simhash pandas-stage determinism, jaccard
+bucket cap behavior."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_detect_exceptions_spark.operators import dedup as D
+from fluent_plugin_detect_exceptions_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _qv(spark):
+    emb = _emb(spark)
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_ann_indexed_equals_on_the_fly(spark, tmp_path):
+    emb, qv = _emb(spark), _qv(spark)
+    idx = str(tmp_path / "lsh_index")
+    S.build_lsh_index(emb, idx)
+    got = [tuple(r) for r in S.ann_topk_indexed(spark, idx, qv, k=10).collect()]
+    want = [tuple(r) for r in S.lsh_bucketed_topk(emb, qv, k=10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_ann_indexed_scan_is_partition_pruned(spark, tmp_path):
+    """The whole point of the index: the parquet scan must read only the
+    query's bucket partition (PartitionFilters on __bucket), not the full
+    table plus a post-filter."""
+    emb, qv = _emb(spark), _qv(spark)
+    idx = str(tmp_path / "lsh_index")
+    S.build_lsh_index(emb, idx)
+    plan_df = S.ann_topk_indexed(spark, idx, qv, k=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    qsig = S.query_signature(qv)
+    assert "PartitionFilters" in plan
+    # the bucket equality must appear in the partition filters, i.e. be
+    # applied at file listing time rather than per row
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "__bucket" in pf_line and str(qsig) in pf_line, pf_line
+    # and the data filters must NOT contain the bucket predicate anymore
+    n_parts = spark.read.parquet(idx).select("__bucket").distinct().count()
+    assert n_parts > 1  # pruning is meaningful: several buckets exist
+
+
+def test_simhash_signature_is_deterministic_and_bounded(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures_df(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures_df(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    # 60-bit signatures: bits 60..63 never set
+    assert all(0 <= v < (1 << 60) for v in a.values())
+    # exact duplicates share a signature
+    dup = docs.limit(1).collect()[0]
+    two = spark.createDataFrame(
+        [(900001, dup["text"]), (900002, dup["text"])], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures_df(two).collect()}
+    assert sigs[900001] == sigs[900002]
+
+
+def test_jaccard_bucket_cap_drops_degenerate_buckets(spark):
+    # 40 identical near-empty docs share every band -> one poisoned bucket;
+    # with max_bucket below that, no pairs come out of it, while a pair of
+    # real near-dups in a small bucket is still found.
+    rows = [(i, "x") for i in range(40)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy dogs")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.jaccard_pairs(df, threshold_millis=100, max_bucket=0)
+    capped = D.jaccard_pairs(df, threshold_millis=100, max_bucket=16)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    assert uncapped.count() > len(got)  # the degenerate bucket was the bulk
