@@ -44,7 +44,9 @@ class PipelineConfig:
     #: event-time column (timeout gaps).
     ts_col: str = "ts"
     #: salt very long conversations into chunks of this many turns; 0 turns
-    #: chunking off.  Only active when `stream` is None.
+    #: chunking off.  Active with or without a `stream` column — the chunk
+    #: group key is (conv[, stream], chunk), so a skewed stream inside a
+    #: huge conversation still spreads across executors.
     chunk_size: int = 1 << 17
     #: warm-up overlap rows prepended to each chunk to find a scan
     #: synchronization point.  Must be < chunk_size.
@@ -82,7 +84,7 @@ class PipelineConfig:
 
     @property
     def chunking_active(self) -> bool:
-        return bool(self.chunk_size) and self.stream is None
+        return bool(self.chunk_size)
 
     def group_keys(self) -> list[str]:
         keys = [self.conv_col]

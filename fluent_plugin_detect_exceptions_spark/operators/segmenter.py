@@ -340,22 +340,28 @@ def find_fallback_convs(
     df: DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
 ) -> list:
     """Pre-pass over chunk-boundary zones only: conversations whose warm-up
-    zone for some chunk has no synchronization point cannot be chunk-scanned
-    exactly and are processed whole.  Touches only ``warmup/chunk_size`` of
-    the rows, column-pruned to (conv, turn, text)."""
+    zone for some chunk (per stream, when a stream column demuxes the FSMs)
+    has no synchronization point cannot be chunk-scanned exactly and are
+    processed whole.  Touches only ``warmup/chunk_size`` of the rows,
+    column-pruned to (conv[, stream], turn, text)."""
     if msg_field is None:
         return []
     c, o = cfg.chunk_size, cfg.warmup
     # the explicit range conjunct is parquet-pushable (row-group stats prune
     # whole files of short conversations); the modulo half is evaluated post-scan
-    zone = df.filter(
-        (F.col(cfg.order_col) >= (c - o)) & ((F.col(cfg.order_col) % c) >= (c - o))
-    ).select(
+    sel = [
         F.col(cfg.conv_col).alias("conv"),
         F.expr(f"{cfg.order_col} div {c}").cast("long").alias("zchunk"),
         F.col(cfg.order_col).alias("turn"),
         F.col(msg_field).alias("msg"),
-    )
+    ]
+    group = ["conv", "zchunk"]
+    if cfg.stream is not None:
+        sel.insert(1, F.col(cfg.stream).alias("strm"))
+        group = ["conv", "strm", "zchunk"]
+    zone = df.filter(
+        (F.col(cfg.order_col) >= (c - o)) & ((F.col(cfg.order_col) % c) >= (c - o))
+    ).select(*sel)
 
     out_schema = StructType(
         [
@@ -377,7 +383,7 @@ def find_fallback_convs(
         )
 
     bad = (
-        zone.groupBy("conv", "zchunk")
+        zone.groupBy(*group)
         .applyInPandas(check, schema=out_schema)
         .filter(~F.col("synced"))
         .select("conv")

@@ -10,7 +10,11 @@ Dart).  Semantics re-derived from the reference at
 * per-state rule order is insertion order and first match wins (:236-245);
 * matching is an **unanchored search** (Ruby ``line =~ pattern``), lines keep
   their trailing newline, and anchors behave like Python ``re`` *without*
-  ``re.MULTILINE`` (SURVEY.md §4.4);
+  ``re.MULTILINE`` (SURVEY.md §4.4 — incl. the round-2 adjudication of the
+  Onigmo ``^$``-after-final-newline question: the reference's own
+  test_exception_detector.rb:714 expectation is only satisfiable if Onigmo,
+  per the Perl/Oniguruma begin-line rule, does NOT match ``^`` after a
+  string-final newline, i.e. exactly the no-``re.M`` semantics used here);
 * rule targets are de-duplicated per from-state by ``(pattern, to_state)``
   value equality (exception_detector.rb:29-41, :198);
 * the two Ruby ``/x`` extended-mode patterns (PHP start rule at :88-90, C#

@@ -127,8 +127,38 @@ def skewed_tail(spark: SparkSession, n_convs: int, turns_per_conv: int) -> DataF
     )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the session's classpath.
+    (This sandbox ships without the jar; clusters add
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-...``.)"""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def configure_hadoop_catalog(spark: SparkSession, name: str, warehouse: str) -> None:
+    """Register an Iceberg hadoop catalog on the live session, with
+    storage-partitioned join/read settings so a table bucketed by conv_id is
+    scanned one bucket per task WITHOUT a repartition exchange before the
+    segmentation stage (SPJ; deletes shuffle #1 of the pipeline)."""
+    spark.conf.set(f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+    # storage-partitioned reads: let the v2 scan report its bucket(N, conv_id)
+    # distribution so the grouping exchange is elided when keys line up
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForDistribution", "false")
+
+
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
-    """Iceberg table name (dotted, no slash) or parquet path/glob."""
+    """Iceberg table name (dotted, no slash — read through the configured
+    catalog so partition/file pruning and SPJ metadata survive) or parquet
+    path/glob."""
     if "/" in source or source.endswith(".parquet"):
         return spark.read.parquet(source)
     return spark.read.table(source)

@@ -176,6 +176,34 @@ def test_separate_streams(spark):
     assert fx.PLUGIN_PYTHON_EXC in texts
 
 
+def test_separate_streams_chunked_equals_unchunked(spark):
+    """Salted chunking with a stream column (VERDICT r1 #5): a long
+    dual-stream conversation must chunk-scan per (conv, stream, chunk) and
+    match both the unchunked plan and the oracle — previously a streamed
+    conversation disabled chunking entirely and serialized into one task."""
+    ja, py = fx.lines(fx.PLUGIN_JAVA_EXC), fx.lines(fx.PLUGIN_PYTHON_EXC)
+    cyc0 = ja + ["no exception t0\n"]
+    cyc1 = py + ["plain line t1\n", "another plain t1\n"]
+    rows = []
+    for i in range(600):
+        if i % 2 == 0:
+            stream, line = "t0", cyc0[(i // 2) % len(cyc0)]
+        else:
+            stream, line = "t1", cyc1[(i // 2) % len(cyc1)]
+        rows.append(
+            {"conv_id": "c0", "turn_idx": i, "role": "user", "text": line,
+             "tool": stream, "ts": BASE_EPOCH + i}
+        )
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    chunked = PipelineConfig(stream="tool", chunk_size=64, warmup=16)
+    unchunked = PipelineConfig(stream="tool", chunk_size=0)
+    got = spark_routed(df, chunked)
+    assert got == spark_routed(df, unchunked)
+    assert got == oracle_routed(group_rows(rows, chunked), chunked)
+    texts = [g[5] for g in got]
+    assert fx.PLUGIN_JAVA_EXC in texts and fx.PLUGIN_PYTHON_EXC in texts
+
+
 def test_sink_counts_and_tag_rewrite(spark):
     df = synth_transcripts(spark, 10, repeats=1)
     cfg = PipelineConfig(remove_tag_prefix="conv")
