@@ -54,6 +54,17 @@ class PipelineConfig:
     #: cap on the driver-side fallback list of unsynchronizable
     #: conversations before chunking is disabled for the run.
     max_fallback_convs: int = 10_000
+    #: skip the plan-time max(turn_idx) gate job and chunk unconditionally.
+    #: The gate exists to turn chunking off for all-short inputs; an operator
+    #: who KNOWS the table holds chunk_size-plus conversations (any
+    #: production log pipeline) saves one driver round trip per run/bucket.
+    #: With parquet aggregate pushdown the gate is footer-only anyway, but
+    #: job-scheduling latency is the scaling-efficiency tax at small inputs.
+    assume_long_convs: bool = False
+    #: externally supplied fallback-conversation list (e.g. proven by a prior
+    #: run's manifest over the same immutable input): skips the sync pre-pass
+    #: entirely.  None = discover with the pre-pass; () = "none exist".
+    known_fallback_convs: tuple | None = None
     #: coalesce segments inside the scan stage (emit per-segment partials;
     #: the downstream groupBy only stitches chunk-spanning segments).  Cuts
     #: the second shuffle from per-row to per-segment volume.  The per-row

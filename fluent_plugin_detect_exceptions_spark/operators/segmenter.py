@@ -412,7 +412,7 @@ def segment(
         )
 
     chunking = cfg.chunking_active
-    if chunking:
+    if chunking and not cfg.assume_long_convs:
         # near-free gate (one max() — parquet aggregate pushdown reads only
         # footers when enabled): if no conversation reaches chunk_size, skip
         # the pre-pass, warm-up duplication and salted keys entirely
@@ -421,7 +421,11 @@ def segment(
             chunking = False
 
     if chunking:
-        fallback = find_fallback_convs(df, cfg, rules, msg_field)
+        fallback = (
+            list(cfg.known_fallback_convs)
+            if cfg.known_fallback_convs is not None
+            else find_fallback_convs(df, cfg, rules, msg_field)
+        )
         if len(fallback) > cfg.max_fallback_convs:
             # adversarial input: too many unsynchronizable conversations —
             # process everything whole rather than blow up the driver list

@@ -95,6 +95,20 @@ def test_chunked_equals_unchunked(spark):
     for chunk_size, warmup in ((64, 16), (32, 8), (128, 64)):
         cfg = PipelineConfig(chunk_size=chunk_size, warmup=warmup)
         assert spark_routed(df, cfg) == base, (chunk_size, warmup)
+    # latency knobs: skipping the max-turn gate and replaying a previously
+    # discovered fallback list (manifest scenario) must not change results
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import (
+        find_fallback_convs,
+    )
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+
+    probe = PipelineConfig(chunk_size=64, warmup=16)
+    fallback = find_fallback_convs(df, probe, compile_rules(probe.languages), "text")
+    cfg = PipelineConfig(
+        chunk_size=64, warmup=16, assume_long_convs=True,
+        known_fallback_convs=tuple(fallback),
+    )
+    assert spark_routed(df, cfg) == base
     rows = local_rows(12, 3)
     cfg = PipelineConfig()
     assert base == oracle_routed(group_rows(rows, cfg), cfg)
