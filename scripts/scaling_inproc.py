@@ -97,7 +97,8 @@ def main() -> None:
     )
     transcripts = spark.read.parquet(f"{tmp}/t.parquet")
     n_turns = transcripts.count()
-    cfg = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048)
+    cfg = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
+                     assume_long_convs=True)
 
     def pipeline_once() -> float:
         t0 = time.perf_counter()
