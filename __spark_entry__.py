@@ -222,7 +222,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH candidates verified by exact shingle Jaccard (rows-only)
+    # LSH candidates verified by exact shingle Jaccard (full oracle)
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold_millis=100)
 
 

@@ -70,6 +70,11 @@ class PipelineConfig:
     #: the second shuffle from per-row to per-segment volume.  The per-row
     #: path (False) is kept for window-based segment-id derivations/tests.
     fuse_coalesce: bool = True
+    #: run the fused scan stage on Arrow record batches (mapInArrow): strings
+    #: stay dictionary-encoded in C++ and only DISTINCT lines become Python
+    #: objects.  The pandas fused stage (False) pays object-materialization
+    #: and whole-DataFrame reorder taxes; kept for differential testing.
+    arrow_stage: bool = True
 
     def __post_init__(self):
         langs = tuple(str(x).lower() for x in self.languages)

@@ -70,6 +70,30 @@ def _tables_for_mask(mask_key: bytes, mask: np.ndarray, rules: CompiledRules):
     return out
 
 
+def classify_encoded(codes: np.ndarray, uniques: pd.Series, rules: CompiledRules):
+    """Classify pre-interned lines: ``codes`` maps each row to its distinct
+    line in ``uniques`` (-1 = null).  The regex bank runs once per distinct
+    line only — callers that already hold a dictionary encoding (the Arrow
+    scan stage) never materialize the non-distinct bulk as Python strings."""
+    m = match_matrix(uniques, rules)
+    if len(m) == 0:
+        # all-null batch: keep one no-match class so downstream clip-indexing
+        # of the tables stays valid (every row is NIL_CLS anyway)
+        m = np.zeros((1, rules.n_patterns), dtype=bool)
+        codes = np.full(len(codes), -1, dtype=np.int64)
+    uniq, inverse = np.unique(m, axis=0, return_inverse=True)
+    k = len(uniq)
+    g_tab = np.zeros((k, N_STATES), dtype=np.int8)
+    b_tab = np.zeros((k, N_STATES), dtype=bool)
+    for ki in range(k):
+        g, b = _tables_for_mask(uniq[ki].tobytes(), uniq[ki], rules)
+        g_tab[ki] = g
+        b_tab[ki] = b
+    per_unique = inverse.astype(np.int32)
+    cls = np.where(codes >= 0, per_unique[np.clip(codes, 0, None)], NIL_CLS).astype(np.int32)
+    return cls, g_tab, b_tab, (g_tab == START).all(axis=1)
+
+
 def classify(texts: pd.Series, rules: CompiledRules):
     """Classify a batch of lines.
 
@@ -82,20 +106,4 @@ def classify(texts: pd.Series, rules: CompiledRules):
     bank runs once per *distinct* line, not once per row.
     """
     codes, uniques = pd.factorize(texts, use_na_sentinel=True)
-    m = match_matrix(pd.Series(uniques, dtype=object), rules)
-    if len(m) == 0:
-        # all-null batch: keep one no-match class so downstream clip-indexing
-        # of the tables stays valid (every row is NIL_CLS anyway)
-        m = np.zeros((1, rules.n_patterns), dtype=bool)
-        codes = np.full(len(texts), -1, dtype=np.int64)
-    uniq, inverse = np.unique(m, axis=0, return_inverse=True)
-    k = len(uniq)
-    g_tab = np.zeros((k, N_STATES), dtype=np.int8)
-    b_tab = np.zeros((k, N_STATES), dtype=bool)
-    for ki in range(k):
-        g, b = _tables_for_mask(uniq[ki].tobytes(), uniq[ki], rules)
-        g_tab[ki] = g
-        b_tab[ki] = b
-    per_unique = inverse.astype(np.int32)
-    cls = np.where(codes >= 0, per_unique[np.clip(codes, 0, None)], NIL_CLS).astype(np.int32)
-    return cls, g_tab, b_tab, (g_tab == START).all(axis=1)
+    return classify_encoded(codes, pd.Series(uniques, dtype=object), rules)

@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import PipelineConfig
-from ..functions.classify import classify
+from ..functions.classify import classify, classify_encoded
 from ..rules import FAMILIES, STATE_FAMILY, STATES, CompiledRules, compile_rules
 from . import fsm
 
@@ -314,6 +314,221 @@ def _scan_partition_fused(
     return pd.DataFrame(out)
 
 
+def _empty_partials_arrow(tbl, cfg: PipelineConfig, msg_field: str | None):
+    import pyarrow as pa
+
+    names, cols = [], []
+
+    def add(name, arr):
+        names.append(name)
+        cols.append(arr)
+
+    add(cfg.conv_col, tbl.column(cfg.conv_col).combine_chunks().slice(0, 0))
+    if cfg.stream is not None:
+        add(cfg.stream, tbl.column(cfg.stream).combine_chunks().slice(0, 0))
+    add("seg_start_turn", pa.array([], pa.int64()))
+    add("part_min_turn", pa.array([], pa.int64()))
+    add("n_part", pa.array([], pa.int64()))
+    add("text_part", pa.array([], pa.string()))
+    add("lang_id", pa.array([], pa.int8()))
+    add("sync_ok", pa.array([], pa.bool_()))
+    for c in ride_along_cols(tbl.schema.names, cfg, msg_field):
+        add(c, tbl.column(c).combine_chunks().slice(0, 0))
+    return pa.table(cols, names=names)
+
+
+def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
+                                msg_field: str | None):
+    """Arrow-native fused scan+coalesce: the hot stage of the pipeline.
+
+    The pandas form pays three Python-object taxes the profile showed
+    dominate at scale (arrow→pandas conversion of every string column,
+    whole-DataFrame reordering, and per-row string access): here the strings
+    stay dictionary-encoded in C++ — only the DISTINCT lines become Python
+    objects (for the regex bank and the final concat), row ordering is pure
+    numpy index arithmetic, and ride-along columns are gathered with
+    ``pyarrow.compute.take`` at segment-first positions only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n == 0:
+        return _empty_partials_arrow(tbl, cfg, msg_field)
+
+    def codes_of(col_name):
+        enc = pc.dictionary_encode(tbl.column(col_name).combine_chunks())
+        return enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    conv_c = codes_of(cfg.conv_col)
+    turn = tbl.column(cfg.order_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    chunk = tbl.column("chunk_id").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    warm = (
+        tbl.column("__warmup").combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        if "__warmup" in tbl.schema.names
+        else np.zeros(n, dtype=bool)
+    )
+    strm_c = codes_of(cfg.stream) if cfg.stream is not None else None
+
+    # text: dictionary-encode once; classify / length / newline checks run
+    # per DISTINCT line only
+    if msg_field is not None:
+        t_enc = pc.dictionary_encode(tbl.column(msg_field).combine_chunks())
+        tcodes = t_enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_arr = t_enc.dictionary
+        uniqs = pd.Series(uniq_arr.to_pylist(), dtype=object)
+        ulen = pc.utf8_length(uniq_arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        unl = pc.match_substring(uniq_arr, "\n").fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
+    else:
+        tcodes = np.full(n, -1, dtype=np.int64)
+        uniqs = pd.Series([], dtype=object)
+        ulen = np.zeros(1, dtype=np.int64)
+        unl = np.zeros(1, dtype=bool)
+    cls_row, g_tab, b_tab, _ = classify_encoded(tcodes, uniqs, rules)
+    safe = np.clip(tcodes, 0, None)
+    rawlen_row = np.where(tcodes >= 0, ulen[safe] if len(ulen) else 0, 0).astype(np.int64)
+    hasnl_row = np.where(tcodes >= 0, unl[safe] if len(unl) else False, False).astype(bool)
+
+    # sort = integer index arithmetic only; no column is reordered
+    keys = [turn, chunk]
+    if strm_c is not None:
+        keys.insert(1, strm_c)
+    order = np.lexsort(tuple(keys) + (conv_c,))
+    conv_s = conv_c[order]
+    chunk_s = chunk[order]
+    turn_s = turn[order]
+    warm_s = warm[order]
+    cls_s = cls_row[order]
+    strm_s = strm_c[order] if strm_c is not None else None
+
+    new_group = np.ones(n, dtype=bool)
+    if n > 1:
+        same = (conv_s[1:] == conv_s[:-1]) & (chunk_s[1:] == chunk_s[:-1])
+        if strm_s is not None:
+            same &= strm_s[1:] == strm_s[:-1]
+        new_group[1:] = ~same
+    group_starts = np.flatnonzero(new_group)
+    group_ends = np.append(group_starts[1:], n)
+
+    scan_ranges = []
+    sync_ok = np.ones(n, dtype=bool)  # in SORTED order
+    for gs, ge in zip(group_starts, group_ends):
+        nwarm = int(warm_s[gs:ge].sum())
+        if nwarm == 0:
+            if chunk_s[gs] > 0:
+                sync_ok[gs:ge] = False  # empty warm-up zone: unverifiable
+            scan_ranges.append((gs, ge))
+            continue
+        j = fsm.subset_sync(cls_s[gs : gs + nwarm], g_tab)
+        if j < 0:
+            sync_ok[gs:ge] = False
+            scan_ranges.append((gs + nwarm, ge))
+        else:
+            scan_ranges.append((gs + j + 1, ge))
+
+    ranges = [(s, e) for s, e in scan_ranges if e > s]
+    if not ranges:
+        return _empty_partials_arrow(tbl, cfg, msg_field)
+    idx = np.concatenate([np.arange(s, e) for s, e in ranges])
+    m = len(idx)
+    first_of_group = np.zeros(m, dtype=bool)
+    gidx = np.zeros(m, dtype=np.int64)
+    pos = 0
+    for gnum, (s, e) in enumerate(ranges):
+        ln = e - s
+        first_of_group[pos] = True
+        gidx[pos : pos + ln] = gnum
+        pos += ln
+
+    orig = order[idx]  # positions in the ORIGINAL table
+    rawlen = rawlen_row[orig]
+    has_nl = hasnl_row[orig]
+    gap = np.zeros(m, dtype=bool)
+    if cfg.multiline_flush_interval is not None and m > 1:
+        tsv = (
+            tbl.column(cfg.ts_col).combine_chunks().cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        tsg = tsv[orig]
+        gap[1:] = (tsg[1:] - tsg[:-1]) > cfg.multiline_flush_interval * 1_000_000
+        gap[first_of_group] = False
+    gap |= first_of_group
+
+    res = fsm.scan(
+        cls_s[idx], g_tab, b_tab, rawlen, has_nl, gap,
+        force_line_breaks=cfg.force_line_breaks,
+        max_lines=cfg.max_lines,
+        max_bytes=cfg.max_bytes,
+    )
+
+    turns = turn_s[idx]
+    adj = turns + gidx * _TURN_OFFSET
+    sst = np.maximum.accumulate(np.where(res.seg_start, adj, np.int64(-1)))
+    sst -= gidx * _TURN_OFFSET
+    lang = STATE_FAMILY_ID[res.state_after]
+
+    keep = res.emit & ~warm_s[idx]
+    k_pos = np.flatnonzero(keep)
+    if len(k_pos) == 0:
+        return _empty_partials_arrow(tbl, cfg, msg_field)
+    k_gidx = gidx[k_pos]
+    k_sst = sst[k_pos]
+    k_turn = turns[k_pos]
+    k_lang = lang[k_pos]
+    k_has_nl = has_nl[k_pos]
+    k_orig = orig[k_pos]
+    k_tcode = tcodes[k_orig]
+
+    p = len(k_pos)
+    pb = np.ones(p, dtype=bool)
+    if p > 1:
+        pb[1:] = (k_gidx[1:] != k_gidx[:-1]) | (k_sst[1:] != k_sst[:-1])
+    starts = np.flatnonzero(pb)
+    ends = np.append(starts[1:], p)
+
+    if cfg.force_line_breaks:
+        prepend = (~k_has_nl) & (k_turn != k_sst)
+    else:
+        prepend = np.zeros(p, dtype=bool)
+
+    # distinct strings only: one Python object per dictionary entry, shared
+    vals = uniqs.tolist()
+    parts: list[str | None] = []
+    for s, e in zip(starts, ends):
+        if e - s == 1:
+            c = k_tcode[s]
+            t = vals[c] if c >= 0 else None
+            parts.append(("\n" + t) if (prepend[s] and t is not None) else t)
+            continue
+        buf = []
+        for i in range(s, e):
+            c = k_tcode[i]
+            if c < 0:
+                continue
+            t = vals[c]
+            buf.append("\n" + t if prepend[i] else t)
+        parts.append("".join(buf))
+
+    firsts_orig = pa.array(k_orig[starts])
+    names, cols = [], []
+
+    def add(name, arr):
+        names.append(name)
+        cols.append(arr)
+
+    add(cfg.conv_col, pc.take(tbl.column(cfg.conv_col).combine_chunks(), firsts_orig))
+    if cfg.stream is not None:
+        add(cfg.stream, pc.take(tbl.column(cfg.stream).combine_chunks(), firsts_orig))
+    add("seg_start_turn", pa.array(k_sst[starts], pa.int64()))
+    add("part_min_turn", pa.array(k_turn[starts], pa.int64()))
+    add("n_part", pa.array((ends - starts).astype(np.int64), pa.int64()))
+    add("text_part", pa.array(parts, pa.string()))
+    add("lang_id", pa.array(k_lang[starts], pa.int8()))
+    add("sync_ok", pa.array(sync_ok[idx][k_pos][starts], pa.bool_()))
+    for c in ride_along_cols(tbl.schema.names, cfg, msg_field):
+        add(c, pc.take(tbl.column(c).combine_chunks(), firsts_orig))
+    return pa.table(cols, names=names)
+
+
 def _with_chunks(df: DataFrame, cfg: PipelineConfig, fallback_convs) -> DataFrame:
     """Add chunk_id / __warmup via a single-pass JVM-side explode (stays
     inside whole-stage codegen, no second scan of the source)."""
@@ -444,6 +659,19 @@ def segment(
             [f for f in df.schema.fields if f.name != "__warmup"] + META_FIELDS
         )
         scan_fn = _scan_partition
+
+    if cfg.fuse_coalesce and cfg.arrow_stage:
+        def run_arrow(batches):
+            import pyarrow as pa
+
+            chunks = list(batches)
+            if not chunks:
+                return
+            tbl = pa.Table.from_batches(chunks)
+            out = _scan_partition_fused_arrow(tbl, cfg, rules, msg_field)
+            yield from out.to_batches()
+
+        return df.repartition(*group_cols).mapInArrow(run_arrow, schema=out_schema)
 
     def run(batches):
         # one partition may arrive as several Arrow batches and a group may

@@ -304,6 +304,24 @@ def test_fused_equals_unfused_coalesce(spark):
     assert spark_routed(df, cfgf) == spark_routed(df, cfgu)
 
 
+def test_arrow_stage_equals_pandas_stage(spark):
+    """The mapInArrow fused stage (default) must be row-identical to the
+    pandas fused stage across chunking, limits, FLB and gap configs."""
+    df = synth_transcripts(spark, 12, repeats=2)
+    for kw in (
+        dict(),
+        dict(chunk_size=64, warmup=16),
+        dict(max_lines=3),
+        dict(max_bytes=120),
+        dict(force_line_breaks=True),
+        dict(multiline_flush_interval=5.0),
+        dict(stream="tool", chunk_size=64, warmup=16),
+    ):
+        a = spark_routed(df, PipelineConfig(arrow_stage=True, **kw))
+        b = spark_routed(df, PipelineConfig(arrow_stage=False, **kw))
+        assert a == b, kw
+
+
 def test_window_segment_ids_equal_seg_start_turn(spark):
     # the window running-sum segment id and the (conv, seg_start_turn) key
     # induce the same partition of rows into segments
