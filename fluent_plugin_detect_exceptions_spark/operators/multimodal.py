@@ -2,9 +2,11 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct.  The
 Spark-side plumbing — schema, partition sizing, Arrow batch shape, UDF
-signatures — is real and tested; the actual codec work is stubbed behind
-``decode_fn`` hooks because media libraries are not available in this
-environment (clearly marked below).  Swapping in a real decoder is a
+signatures — is real and tested.  Decoding is a ``decode_fn`` hook with two
+REAL pure-python codecs (uncompressed 24-bit BMP, PCM16 WAV — verified
+against synthesized bytes end-to-end through the Spark plan) and a clearly
+marked deterministic stub for formats that need native libraries absent in
+this environment (PNG/JPEG/MP4 → PIL/ffmpeg); swapping those in is a
 one-function change and does not alter the plan shape.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
@@ -54,15 +56,99 @@ FEATURE_SCHEMA = StructType(
 
 
 def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
-    """STUB: deterministic fake 'decode' (media codecs unavailable here).
-
-    Real deployment replaces this with PIL/torchaudio/ffmpeg decode.  The
-    fake is deterministic in the payload bytes so tests are reproducible.
+    """STUB: deterministic fake 'decode' (for formats with no pure-python
+    codec in this environment — PNG/JPEG/MP4 need PIL/ffmpeg).  The fake is
+    deterministic in the payload bytes so tests are reproducible.
     """
     if payload is None:
         raise NotImplementedError("null payload: nothing to decode")
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return (arr.astype(np.float32) / 255.0).reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders (pure python/numpy — no media libraries needed): uncompressed
+# 24-bit BMP and PCM16 WAV.  These run behind the exact same plan/UDF shape
+# as the stub, demonstrating the decode hook end-to-end with real bytes.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24bpp BMP → (H, W, 3) float32 RGB in [0, 1]."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24bpp BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    buf = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    img = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.astype(np.float32) / 255.0
+
+
+def decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """PCM16 WAV → (n_samples, n_channels) float32 in [-1, 1]."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, nch = struct.unpack_from("<HH", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 WAV supported")
+    samples = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    return samples.reshape(-1, nch)
+
+
+def pooled_feature(arr: np.ndarray, bins: int = 64) -> np.ndarray:
+    """Fixed-width feature from a decoded array: 8x8 mean-pooled grayscale
+    for images (ndim 3), ``bins``-segment RMS envelope for audio (ndim 2)."""
+    if arr.ndim == 3:
+        gray = arr.mean(axis=-1)
+        rows = np.array_split(gray, 8, axis=0)
+        out = np.empty((8, 8), dtype=np.float32)
+        for i, r in enumerate(rows):
+            for j, block in enumerate(np.array_split(r, 8, axis=1)):
+                out[i, j] = block.mean() if block.size else 0.0
+        return out.ravel()
+    mono = arr.mean(axis=-1)
+    segs = np.array_split(mono, bins)
+    return np.asarray(
+        [np.sqrt((s * s).mean()) if s.size else 0.0 for s in segs], dtype=np.float32
+    )
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Magic-byte dispatch to a real pure-python decoder; formats without a
+    pure-python codec here fall through to the deterministic stub."""
+    if payload is None:
+        raise NotImplementedError("null payload: nothing to decode")
+    if payload[:2] == b"BM":
+        return pooled_feature(decode_bmp(payload))
+    if payload[:4] == b"RIFF":
+        return pooled_feature(decode_wav_pcm16(payload))
+    return _stub_decode(payload, kind)
 
 
 def extract_features(
@@ -82,10 +168,10 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes = [], []
-            for payload in pdf[payload_col]:
+            for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
                 raw = payload.encode() if isinstance(payload, str) else (payload or b"")
                 nbytes.append(len(raw))
-                feats.append(decode(raw, "image").ravel().tolist())
+                feats.append(decode(raw, kind).ravel().tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
