@@ -151,6 +151,34 @@ def main(argv=None) -> None:
     run_id = uuid.uuid4().hex[:12]
 
     src = read_transcripts(spark, args.input)
+
+    # plan-time work ONCE per run, not once per bucket: the max-turn gate and
+    # the sync pre-pass are global properties of the input; buckets reuse the
+    # discovered fallback list via known_fallback_convs (2 jobs total instead
+    # of 2 per bucket)
+    cfg_run = cfg
+    n_fallback = 0
+    if cfg.chunking_active and cfg.known_fallback_convs is None:
+        import dataclasses
+
+        from .operators.segmenter import find_fallback_convs
+
+        max_turn = (
+            None
+            if cfg.assume_long_convs
+            else src.agg(F.max(cfg.order_col)).first()[0]
+        )
+        if cfg.assume_long_convs or (max_turn is not None and max_turn >= cfg.chunk_size):
+            fb = find_fallback_convs(
+                src, cfg, rules, cfg.resolve_message_field(src.columns)
+            )
+            n_fallback = len(fb)
+            cfg_run = dataclasses.replace(
+                cfg, known_fallback_convs=tuple(fb), assume_long_convs=True
+            )
+        else:
+            cfg_run = dataclasses.replace(cfg, chunk_size=0)
+
     src = src.withColumn("__bucket", bucket_of(cfg.conv_col, args.buckets))
 
     totals: dict[str, int] = {}
@@ -159,7 +187,7 @@ def main(argv=None) -> None:
             continue
         info = run_bucket(
             spark, src.filter(F.col("__bucket") == b).drop("__bucket"),
-            cfg, rules, args.output, b,
+            cfg_run, rules, args.output, b,
         )
         manifest.mark_done(b, dict(info, run_id=run_id), fingerprint=fp)
         for k, v in info["sink_counts"].items():
@@ -167,7 +195,8 @@ def main(argv=None) -> None:
 
     write_run_metadata(
         ckpt_dir, run_id,
-        {"buckets": args.buckets, "resumed_from": len(done), "sink_totals": totals},
+        {"buckets": args.buckets, "resumed_from": len(done), "sink_totals": totals,
+         "n_fallback_convs": n_fallback},
     )
     print({"run_id": run_id, "completed_buckets": args.buckets, "sink_totals": totals})
     spark.stop()
