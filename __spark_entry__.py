@@ -234,6 +234,12 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, qv, k=10)
 
 
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup pairs inside full-signature LSH buckets
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_dup_pairs(emb, threshold_micro=0, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exception_pipeline": _q_exception_pipeline,
@@ -256,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
+        "embedding_dups": _q_embedding_dups,
     }
 
 
@@ -310,4 +317,5 @@ FROM events WHERE event_type = 'error'""",
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),
         "ann_lsh_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
+        "embedding_dups": O.embedding_dup_pairs_sql(dim=64, threshold_micro=0),
     }

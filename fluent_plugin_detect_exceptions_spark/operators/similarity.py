@@ -112,6 +112,42 @@ def lsh_bucketed_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold_micro: int = 0,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share the FULL
+    hyperplane signature (bucket self-join — never all-pairs), verified by
+    exact cosine, micro-integerized.  The dedup analogue of jaccard_pairs
+    for vector columns; at scale the join runs on the materialized
+    bucket-partitioned index (build_lsh_index)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    b = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_expr(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            c,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.floor(sim * 1_000_000).cast("long").alias("sim_micro"),
+        )
+        .filter(F.col("sim_micro") >= threshold_micro)
+    )
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,

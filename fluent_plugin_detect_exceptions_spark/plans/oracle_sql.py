@@ -505,6 +505,33 @@ SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
 FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
 
 
+def embedding_dup_pairs_sql(dim: int = 64, n_planes: int = 8,
+                            threshold_micro: int = 0) -> str:
+    """Mirror of operators.similarity.embedding_dup_pairs: full-signature
+    bucket self-join + exact cosine, micro-integerized."""
+    from ..operators.similarity import _hyperplane
+
+    emb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}, {lit}) > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (SELECT vec_id, {emb} AS e, ({bucket}) AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         list_dot_product(a.e, x.e) / sqrt(list_dot_product(a.e, a.e))
+           / sqrt(list_dot_product(x.e, x.e)) AS sim
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT id_a, id_b, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+FROM p WHERE CAST(floor(sim * 1000000) AS BIGINT) >= {threshold_micro}"""
+
+
 def jaccard_pairs_sql(threshold_millis: int = 100, num_hashes: int = 8,
                       band_size: int = 2, k: int = 5,
                       max_bucket: int = 256) -> str:
