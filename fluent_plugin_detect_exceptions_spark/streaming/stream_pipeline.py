@@ -89,7 +89,8 @@ def _mk_out(conv, first_turn, role, tool, ts, text, n, lang_id):
     )
 
 
-def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None):
+def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
+                    event_time: bool = False):
     rules = rules or compile_rules(cfg.languages)
     timeout_ms = (
         int(cfg.multiline_flush_interval * 1000)
@@ -221,20 +222,38 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None):
                 )
             )
         if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+            if event_time:
+                # flush once the watermark passes the last seen event + the
+                # interval (replay-deterministic, unlike wall clock)
+                state.setTimeoutTimestamp(int(tsv[-1]) * 1000 + timeout_ms)
+            else:
+                state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(rows, columns=OUTPUT_SCHEMA.names)
 
     return func
 
 
-def detect_exceptions_stream(stream_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """streaming transcripts → streaming routed records (append mode)."""
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if cfg.multiline_flush_interval is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    func = make_state_func(cfg)
+def detect_exceptions_stream(
+    stream_df: DataFrame, cfg: PipelineConfig, event_time: bool = False
+) -> DataFrame:
+    """streaming transcripts → streaming routed records (append mode).
+
+    ``event_time=True`` switches the idle flush from wall clock to the
+    event-time watermark (out_detect_exceptions.rb:116-132 uses wall clock —
+    the watermark variant is the replayable/backfill-safe analogue: a
+    pending trace flushes once the watermark passes its last event + the
+    flush interval, so reprocessing history produces identical output
+    instead of depending on processing speed)."""
+    func = make_state_func(cfg, event_time=event_time)
+    if cfg.multiline_flush_interval is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_time:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        stream_df = stream_df.withWatermark(
+            cfg.ts_col, f"{int(cfg.multiline_flush_interval)} seconds"
+        )
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return stream_df.groupBy(cfg.conv_col).applyInPandasWithState(
         func, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
     )

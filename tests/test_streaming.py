@@ -125,3 +125,48 @@ def test_streaming_within_single_batch_exact(spark, tmp_path):
     }
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_event_time_timeout_flush(spark, tmp_path):
+    """Event-time watermark variant: an open trace flushes once OTHER
+    events advance the watermark past its last event + interval — replay-
+    deterministic, unlike the wall-clock timeout."""
+    base = 1_700_000_000
+    f1 = [("a", 0, "u", "java.lang.RuntimeException: boom\n", "t", base),
+          ("a", 1, "u", "\tat com.example.Foo.bar(Foo.java:1)\n", "t", base + 1)]
+    f2 = [("b", 0, "u", "plain line\n", "t", base + 100)]   # advances watermark
+    f3 = [("c", 0, "u", "another plain\n", "t", base + 200)]  # batch that fires timeouts
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+    src = str(tmp_path / "src")
+    import glob
+    import time as _t
+
+    for i, rows in enumerate((f1, f2, f3)):
+        df = spark.createDataFrame(rows, schema).withColumn("ts", F.timestamp_seconds("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/part={i}")
+        now = _t.time() + i
+        for p in glob.glob(f"{src}/part={i}/*.parquet"):
+            os.utime(p, (now, now))
+
+    full_schema = spark.read.parquet(f"{src}/part=0").schema
+    stream = (
+        spark.readStream.schema(full_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    from fluent_plugin_detect_exceptions_spark.streaming.stream_pipeline import (
+        detect_exceptions_stream as des,
+    )
+
+    out = des(stream, PipelineConfig(multiline_flush_interval=5), event_time=True)
+    q = (
+        out.writeStream.format("memory").queryName("et_stream").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {(r["conv_id"], r["first_turn_idx"]): (r["n_lines"], r["sink"])
+           for r in spark.sql("select * from et_stream").collect()}
+    # conv a's open 2-line trace was flushed by the advancing watermark
+    assert got[("a", 0)] == (2, "lang_java")
+    assert got[("b", 0)] == (1, "passthrough")
