@@ -234,6 +234,34 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, qv, k=10)
 
 
+def _q_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast lookup-enrich (north rule): routed records joined to the
+    # language metadata dim with an explicit broadcast hash join
+    from fluent_plugin_detect_exceptions_spark.operators.enrich import enrich_with_lang
+
+    df = synth_transcripts(spark, N_CONVS, REPEATS)
+    routed = enrich_with_lang(detect_exceptions(df, FLAGSHIP_CFG), spark)
+    return routed.select(
+        "conv_id", "first_turn_idx", "n_lines", "lang",
+        "lang_name", "detects_end", F.col("n_rules").cast("long").alias("n_rules"),
+    )
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tumbling 1-hour event-time window aggregate (integerized sums so the
+    # aggregation is order-independent across engines)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type", "n", "sum_cents",
+        )
+    )
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -263,6 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
+        "enriched_pipeline": _q_enriched_pipeline,
+        "events_window_agg": _q_events_window,
     }
 
 
@@ -276,6 +306,29 @@ FROM grouped"""
 _FLB_FINAL = f"""
 SELECT conv_id, first_turn_idx, text, n_lines, {O.LANG_CASE} AS lang
 FROM grouped"""
+
+
+def _enriched_final() -> str:
+    from fluent_plugin_detect_exceptions_spark.operators.enrich import LANG_DIM_ROWS
+
+    vals = ", ".join(
+        f"('{lang}', '{name}', {str(de).upper()}, {nr}, {ns})"
+        for lang, name, de, nr, ns in LANG_DIM_ROWS
+    )
+    return f"""
+SELECT g.conv_id, g.first_turn_idx, g.n_lines, g.lang,
+       d.lang_name, d.detects_end, CAST(d.n_rules AS BIGINT) AS n_rules
+FROM (SELECT conv_id, first_turn_idx, n_lines, {O.LANG_CASE} AS lang FROM grouped) g
+LEFT JOIN (VALUES {vals}) d(lang, lang_name, detects_end, n_rules, n_states)
+  ON g.lang = d.lang"""
+
+
+_EVENTS_WINDOW_SQL = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS w_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -318,4 +371,8 @@ FROM events WHERE event_type = 'error'""",
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),
         "ann_lsh_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
         "embedding_dups": O.embedding_dup_pairs_sql(dim=64, threshold_micro=0),
+        "enriched_pipeline": O.pipeline_sql(
+            N_CONVS, REPEATS, final_select=_enriched_final()
+        ),
+        "events_window_agg": _EVENTS_WINDOW_SQL,
     }
