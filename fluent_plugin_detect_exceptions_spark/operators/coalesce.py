@@ -48,9 +48,16 @@ def coalesce_partials(partials: DataFrame, cfg: PipelineConfig, msg_field: str |
     keys = cfg.group_keys() + ["seg_start_turn"]
     ride = [c for c in partials.columns
             if c not in (*keys, "part_min_turn", "n_part", "text_part", "lang_id", "sync_ok")]
+    # lang comes from a PACKED primitive min — (first partial's turn, lang_id)
+    # in one bigint — rather than from the min_by struct: aggregations that
+    # only need lang/sink (per-sink counts) then prune the min_by +
+    # collect_list entirely and run as a pure primitive-buffer HashAggregate
+    # (min_by alone would force SortAggregate: an extra per-partition sort)
+    pack = F.col("part_min_turn") * 256 + (F.col("lang_id").cast("long") + 1)
     agg = partials.groupBy(*keys).agg(
         F.sum("n_part").alias("n_lines"),
-        F.min_by(F.struct(*ride, "lang_id", "text_part"), F.col("part_min_turn")).alias("__first"),
+        F.min(pack).alias("__first_pack"),
+        F.min_by(F.struct(*ride, "text_part"), F.col("part_min_turn")).alias("__first"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("part_min_turn", "text_part"))),
@@ -61,9 +68,10 @@ def coalesce_partials(partials: DataFrame, cfg: PipelineConfig, msg_field: str |
         F.min("sync_ok").alias("sync_ok"),
     )
     first = F.col("__first")
+    first_lang = (F.col("__first_pack") % 256 - 1).cast("int")
     lang = F.when(
-        first["lang_id"] >= 0,
-        F.element_at(F.array(*[F.lit(x) for x in FAMILIES]), (first["lang_id"] + 1).cast("int")),
+        first_lang >= 0,
+        F.element_at(F.array(*[F.lit(x) for x in FAMILIES]), first_lang + 1),
     )
     sel = [F.col(k) for k in cfg.group_keys()]
     sel.append(F.col("seg_start_turn").alias("first_turn_idx"))
