@@ -75,6 +75,14 @@ class PipelineConfig:
     #: objects.  The pandas fused stage (False) pays object-materialization
     #: and whole-DataFrame reorder taxes; kept for differential testing.
     arrow_stage: bool = True
+    #: the input's partitions already hold WHOLE conversations (a
+    #: conv_id-bucketed table read with bucketed scan forced, or an Iceberg
+    #: bucket(N, conv_id) table via storage-partitioned read): skip the
+    #: grouping exchange before the scan stage entirely — shuffle #1 of the
+    #: pipeline disappears.  The caller asserts the layout; chunk-level skew
+    #: spreading across tasks is traded away (chunks of one conversation stay
+    #: in its partition; the FSM still scans them independently).
+    input_clustered: bool = False
 
     def __post_init__(self):
         langs = tuple(str(x).lower() for x in self.languages)

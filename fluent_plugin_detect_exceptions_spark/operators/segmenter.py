@@ -671,6 +671,10 @@ def segment(
             out = _scan_partition_fused_arrow(tbl, cfg, rules, msg_field)
             yield from out.to_batches()
 
+        if cfg.input_clustered:
+            # caller asserts each input partition holds whole conversations
+            # (bucketed/SPJ layout): no grouping exchange at all
+            return df.mapInArrow(run_arrow, schema=out_schema)
         return df.repartition(*group_cols).mapInArrow(run_arrow, schema=out_schema)
 
     def run(batches):

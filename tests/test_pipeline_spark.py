@@ -304,6 +304,43 @@ def test_fused_equals_unfused_coalesce(spark):
     assert spark_routed(df, cfgf) == spark_routed(df, cfgu)
 
 
+def test_input_clustered_bucketed_table_elides_shuffle(spark, tmp_path):
+    """input_clustered over a conv_id-bucketed table: shuffle #1 disappears
+    (no Exchange below the scan stage) and results are identical — the plain-
+    parquet analogue of Iceberg SPJ."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = synth_transcripts(spark, 12, repeats=2)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (df.write.mode("overwrite").format("parquet")
+           .option("path", str(tmp_path / "bt"))
+           .bucketBy(4, "conv_id").sortBy("conv_id", "turn_idx")
+           .saveAsTable("bucketed_transcripts"))
+        tbl = spark.table("bucketed_transcripts")
+        base = spark_routed(df, PipelineConfig())
+        clustered_cfg = PipelineConfig(input_clustered=True)
+        got = spark_routed(tbl, clustered_cfg)
+        assert got == base
+        plan_df = detect_exceptions(tbl, clustered_cfg)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            plan_df.explain("formatted")
+        plan = buf.getvalue()
+        # tree is printed top-down: operators BELOW MapInArrow (between it
+        # and the scan) must contain no Exchange — shuffle #1 is gone
+        tree = plan.split("\n\n")[0].splitlines()
+        mi = next(i for i, ln in enumerate(tree) if "MapInArrow" in ln)
+        below = "\n".join(tree[mi + 1 :])
+        assert "Exchange" not in below, below
+        assert "Scan" in below
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS bucketed_transcripts")
+
+
 def test_arrow_stage_equals_pandas_stage(spark):
     """The mapInArrow fused stage (default) must be row-identical to the
     pandas fused stage across chunking, limits, FLB and gap configs."""
