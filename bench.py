@@ -41,6 +41,9 @@ def build_spark(cpus: int):
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # force bucketed scans (auto-disable would split bucket files and
+        # break the input_clustered whole-conversation contract)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .getOrCreate()
     )
 
@@ -184,6 +187,32 @@ def main() -> None:
         return sum(cmap.values()), cmap
     (n_routed, counts_map) = timed("exception_pipeline", run_pipeline)
 
+    # q1b: same pipeline over the PRODUCTION table layout — conv_id-bucketed,
+    # bucketed scan + input_clustered, which elides shuffle #1 entirely
+    # (docs/PLANS.md).  Setup (the bucketed write) is untimed like gen_sec.
+    t0 = time.perf_counter()
+    spark.sql("DROP TABLE IF EXISTS bench_bucketed")
+    (
+        transcripts.write.mode("overwrite").format("parquet")
+        .option("path", f"{tmp}/bucketed")
+        .bucketBy(64, "conv_id").sortBy("conv_id", "turn_idx")
+        .saveAsTable("bench_bucketed")
+    )
+    bucket_gen_sec = time.perf_counter() - t0
+    bucketed = spark.table("bench_bucketed")
+    cfg_b = PipelineConfig(
+        remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
+        assume_long_convs=True, input_clustered=True,
+    )
+
+    def run_pipeline_bucketed():
+        _, counts = detect_with_counts(bucketed, cfg_b)
+        cmap = {r["sink"]: r["n"] for r in counts.collect()}
+        return sum(cmap.values()), cmap
+
+    (nb_routed, counts_map_b) = timed("exception_pipeline_bucketed", run_pipeline_bucketed)
+    assert counts_map_b == counts_map, (counts_map_b, counts_map)
+
     # q2: exact + minhash dedup over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("dedup_exact", lambda: docs.groupBy(F.md5("text")).count().count())
@@ -207,6 +236,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["exception_pipeline"], 1)
+    turns_per_sec_bucketed = round(n_turns / timings["exception_pipeline_bucketed"], 1)
     result = {
         "metric": "headline_total",
         "value": total,
@@ -219,6 +249,8 @@ def main() -> None:
         "routed_records": n_routed,
         "sink_counts": counts_map,
         "gen_sec": round(gen_sec, 3),
+        "bucket_gen_sec": round(bucket_gen_sec, 3),
+        "turns_per_sec_bucketed": turns_per_sec_bucketed,
         "reps": reps,
         "all_reps": all_reps,
     }
