@@ -1,0 +1,71 @@
+"""Self-check: run every __spark_entry__ query against its DuckDB oracle —
+the same comparison the driver's correctness gate performs (row count,
+column names, order-insensitive values).
+
+Usage: PYTHONPATH=. python scripts/run_gate.py [sf_dir]   (default sf0.01)
+Prints one line per query and exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [cols[i] for i in order], sorted(
+        (tuple(r[i] for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as em
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("gate-selfcheck")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = em.oracle_sql()
+    failures = []
+    for name, q in sorted(em.queries().items()):
+        sdf = q(spark, sf_dir)
+        sn, sv = norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+        res = con.sql(oracles[name])
+        dn, dv = norm(res.columns, res.fetchall())
+        ok = sn == dn and sv == dv
+        print(f"{name:30s} {'OK' if ok else 'MISMATCH':8s} rows={len(sv)}")
+        if not ok:
+            failures.append(name)
+            if sn != dn:
+                print(f"  columns: spark={sn} duckdb={dn}")
+            elif len(sv) != len(dv):
+                print(f"  rows: spark={len(sv)} duckdb={len(dv)}")
+    print("entry rows:", em.entry(spark).count())
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,37 @@ def test_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
                      "--remove-tag-prefix", "conv"])
     with pytest.raises(ManifestMismatch):
         jobmod.main(argv + ["--max-lines", "7"])
+
+
+def test_job_with_stream_and_limits(spark, tmp_path, monkeypatch):
+    """Non-default configs through the spark-submit entry point: stream
+    demux + max_lines, bucketed resume machinery and observed metrics all
+    compose with the hoisted pre-pass."""
+    src = str(tmp_path / "t.parquet")
+    out = str(tmp_path / "out2")
+    synth_transcripts(spark, 9, repeats=1).write.mode("overwrite").parquet(src)
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.Builder.getOrCreate", lambda self: spark
+    )
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    jobmod.main([
+        "--input", src, "--output", out, "--buckets", "2",
+        "--stream", "tool", "--max-lines", "4", "--chunk-size", "64",
+        "--warmup", "16",
+    ])
+    routed = spark.read.parquet(f"{out}/routed")
+    direct = detect_exceptions(
+        spark.read.parquet(src),
+        PipelineConfig(stream="tool", max_lines=4, chunk_size=64, warmup=16),
+    )
+    got = sorted(
+        (r["conv_id"], r["tool"], r["first_turn_idx"], r["text"], r["n_lines"])
+        for r in routed.collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["tool"], r["first_turn_idx"], r["text"], r["n_lines"])
+        for r in direct.collect()
+    )
+    assert got == want and len(got) > 0
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.count() == 2  # one row per bucket
