@@ -21,9 +21,16 @@ import time
 
 
 def build_spark(cpus: int):
+    import tempfile
+
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder
+    # keep catalog artifacts (saveAsTable for the bucketed layout) out of the
+    # repo working tree
+    builder = builder.config(
+        "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="bench_warehouse_")
+    )
     # RAM-backed shuffle dirs when available: on one box the single disk is a
     # shared resource that saturates at high core counts, which a cluster's
     # per-node disks would not (set SPARK_GRAFT_DISK_SHUFFLE=1 to disable)
