@@ -262,6 +262,29 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end training-data selection: exact-dedup representatives that
+    # pass quality gates (length, token count, punct ratio) with detected
+    # language attached — the composition a real data pipeline runs
+    d = _docs(spark, sf_dir)
+    keep = D.exact_dedup(d, "text", "doc_id")
+    stats = T.quality_stats(F.col("text"))
+    return (
+        keep.select(
+            "doc_id",
+            T.lang_id(F.col("text")).alias("pred_lang"),
+            stats["n_chars"].alias("n_chars"),
+            stats["n_tokens"].alias("n_tokens"),
+            stats["n_punct"].alias("n_punct"),
+        )
+        .filter(
+            (F.col("n_chars") >= 100)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("n_punct") * 5 <= F.col("n_tokens"))
+        )
+    )
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -293,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _q_embedding_dups,
         "enriched_pipeline": _q_enriched_pipeline,
         "events_window_agg": _q_events_window,
+        "training_data_filter": _q_training_data_filter,
     }
 
 
@@ -375,4 +399,20 @@ FROM events WHERE event_type = 'error'""",
             N_CONVS, REPEATS, final_select=_enriched_final()
         ),
         "events_window_agg": _EVENTS_WINDOW_SQL,
+        "training_data_filter": rf"""
+WITH keep AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+    ON d.doc_id = k.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         {O.lang_case_sql()} AS pred_lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+  FROM keep
+)
+SELECT * FROM scored
+WHERE n_chars >= 100 AND n_tokens >= 20 AND n_punct * 5 <= n_tokens""",
     }

@@ -377,7 +377,9 @@ SELECT doc_id,
 FROM documents"""
 
 
-def lang_id_doc_sql() -> str:
+def lang_case_sql() -> str:
+    """The marker-count language-ID cascade as a bare CASE expression over a
+    ``text`` column (mirrors functions.text.lang_id)."""
     conds = []
     langs = list(_MARKER_SQL)
     for i, lang in enumerate(langs):
@@ -385,9 +387,13 @@ def lang_id_doc_sql() -> str:
         for later in langs[i + 1 :]:
             c.append(f"{_cnt(lang)} >= {_cnt(later)}")
         conds.append(f"WHEN {' AND '.join(c)} THEN {q(lang)}")
+    return f"CASE {' '.join(conds)} ELSE 'und' END"
+
+
+def lang_id_doc_sql() -> str:
     return f"""
 SELECT doc_id, lang AS actual_lang,
-       CASE {' '.join(conds)} ELSE 'und' END AS pred_lang
+       {lang_case_sql()} AS pred_lang
 FROM documents"""
 
 
