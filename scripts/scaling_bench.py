@@ -43,12 +43,19 @@ def run(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+QNAME = os.environ.get("SPARK_GRAFT_SCALING_QUERY", "exception_pipeline")
+
+
 def best_of(reps: int, cpus: int, sf_dir: str) -> dict:
     """Best of N runs — the sandbox shows intermittent multi-x slowdowns of
-    whole Spark JVMs (co-tenancy); the best run reflects actual capability."""
+    whole Spark JVMs (co-tenancy); the best run reflects actual capability.
+    SPARK_GRAFT_SCALING_QUERY picks which bench query drives throughput
+    (exception_pipeline_bucketed = the production clustered layout)."""
     runs = [run(cpus, sf_dir) for _ in range(reps)]
-    best = max(runs, key=lambda r: r["turns_per_sec"])
-    best["all_pipeline_secs"] = [r["queries"]["exception_pipeline"] for r in runs]
+    best = max(runs, key=lambda r: r["turns"] / r["queries"][QNAME])
+    best["turns_per_sec"] = round(best["turns"] / best["queries"][QNAME], 1)
+    best["scaling_query"] = QNAME
+    best["all_pipeline_secs"] = [r["queries"][QNAME] for r in runs]
     return best
 
 
@@ -63,11 +70,12 @@ def main() -> None:
         "sf": lo["sf"],
         "turns": lo["turns"],
         "n_cores": n,
+        "scaling_query": QNAME,
         "tp_n": lo["turns_per_sec"],
-        "sec_n": lo["queries"]["exception_pipeline"],
+        "sec_n": lo["queries"][QNAME],
         "n4_cores": 4 * n,
         "tp_4n": hi["turns_per_sec"],
-        "sec_4n": hi["queries"]["exception_pipeline"],
+        "sec_4n": hi["queries"][QNAME],
         "scaling_efficiency": round(eff, 3),
         "headline_n": lo,
         "headline_4n": hi,
