@@ -57,6 +57,17 @@ class BucketManifest:
                     if line.strip():
                         e = json.loads(line)
                         if fingerprint is not None and e.get("fingerprint") != fingerprint:
+                            if e.get("fingerprint") is None:
+                                # pre-fingerprint manifest: blaming a config
+                                # change would mislead (ADVICE r2) — the entry
+                                # predates fingerprinting entirely
+                                raise ManifestMismatch(
+                                    f"manifest {self._file()} bucket {e.get('bucket')} "
+                                    f"was written by an older version without a config "
+                                    f"fingerprint; cannot verify it matches this run — "
+                                    f"re-run against a clean checkpoint dir (or delete "
+                                    f"the manifest to reprocess all buckets)"
+                                )
                             raise ManifestMismatch(
                                 f"manifest {self._file()} bucket {e.get('bucket')} was "
                                 f"written under fingerprint {e.get('fingerprint')!r}, "

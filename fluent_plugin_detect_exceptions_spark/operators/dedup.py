@@ -80,7 +80,12 @@ def _py_shingles(text: str, k: int) -> set:
 
     global _WS_RE
     if _WS_RE is None:
-        _WS_RE = _re.compile(r"\s+")
+        # ASCII \s: functions.text.normalized (Java regex) and the DuckDB
+        # oracle (RE2) both treat \s as ASCII whitespace; Python's default
+        # Unicode \s would also fold \xa0/  etc. and diverge (ADVICE r2).
+        # str.lower() stays Python-Unicode — divergence is possible only for
+        # non-ASCII case mappings, which the oracle equivalence excludes.
+        _WS_RE = _re.compile(r"\s+", _re.ASCII)
     base = _WS_RE.sub(" ", text.lower()).strip()
     if len(base) >= k:
         return {base[i : i + k] for i in range(len(base) - k + 1)}
@@ -281,7 +286,8 @@ def simhash_signatures_df(
     def compute(batches):
         import re as _re
 
-        ws = _re.compile(r"\s+")
+        # ASCII \s to match normalized()/the RE2 oracle (see _py_shingles)
+        ws = _re.compile(r"\s+", _re.ASCII)
         weights = np.int64(1) << np.arange(60, dtype=np.int64)
         shifts = np.arange(60, dtype=np.uint64)
         for pdf in batches:
