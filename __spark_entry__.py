@@ -222,8 +222,17 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH candidates verified by exact shingle Jaccard (full oracle)
-    return D.jaccard_pairs(_docs(spark, sf_dir), threshold_millis=100)
+    # LSH candidates verified by exact shingle Jaccard (full oracle); the
+    # cap is OPT-IN (default uncapped since r3) — passed explicitly here to
+    # exercise the capped path, with lsh_oversized_buckets as the paired
+    # recall-loss visibility query
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold_millis=100, max_bucket=256)
+
+
+def _q_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall-loss visibility for a capped jaccard_pairs: buckets a
+    # max_bucket=16 cap would skip (non-empty at sf0.01)
+    return D.oversized_lsh_buckets(_docs(spark, sf_dir), max_bucket=16)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_timeout_gap": _q_pipeline_timeout,
         "simhash_buckets": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
+        "lsh_oversized_buckets": _q_lsh_oversized,
         "ann_lsh_topk": _q_ann_lsh,
         "sink_counts": _q_sink_counts,
         "classify_start": _q_classify_start,
@@ -385,7 +395,8 @@ FROM events WHERE event_type = 'error'""",
         "demux_counts": O.demux_counts_sql(N_CONVS, REPEATS),
         "tag_rewrite": O.tag_rewrite_sql(5),
         "dedup_exact": O.DEDUP_EXACT_SQL,
-        "jaccard_pairs": O.jaccard_pairs_sql(threshold_millis=100),
+        "jaccard_pairs": O.jaccard_pairs_sql(threshold_millis=100, max_bucket=256),
+        "lsh_oversized_buckets": O.oversized_buckets_sql(max_bucket=16),
         "token_stats": O.TOKEN_STATS_SQL,
         "quality_stats": O.QUALITY_SQL,
         "lang_id": O.lang_id_doc_sql(),

@@ -204,7 +204,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold_millis: int = 500,
     k: int = DEFAULT_SHINGLE_K,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: int = 0,
     **kw,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact shingle
@@ -216,10 +216,17 @@ def jaccard_pairs(
     arrays instead of raw shingle strings (~4-8x narrower); the intersection
     is the JVM-optimized ``array_intersect`` (sets are distinct by
     construction; an in-doc hash collision merges identically in the DuckDB
-    oracle since the hash scheme is shared).  Degenerate band keys (e.g.
-    thousands of near-empty docs sharing a signature band) are capped at
-    ``max_bucket`` docs — a poisoned bucket would otherwise go quadratic;
-    dropped buckets are that large ONLY for pathological/empty content."""
+    oracle since the hash scheme is shared).
+
+    ``max_bucket`` (OPT-IN, default 0 = uncapped) drops every candidate pair
+    in any (band_id, band_key) bucket holding more than that many docs, to
+    bound the in-bucket quadratic.  Heavily duplicated corpora — boilerplate,
+    templated docs, exactly the content dedup targets — routinely put
+    hundreds of genuinely near-identical docs in one bucket, so a cap LOSES
+    TRUE PAIRS (ADVICE r2).  When capping, run ``oversized_lsh_buckets`` with
+    the same parameters to measure what was skipped, and route those groups
+    through ``exact_dedup`` / a representative-based pass instead of pairwise
+    verification."""
     bands = minhash_bands(df, text_col, id_col, **kw)
     if max_bucket:
         sizes = bands.groupBy("band_id", "band_key").agg(
@@ -254,6 +261,28 @@ def jaccard_pairs(
     jac = F.floor(1000.0 * inter / union).cast("long")
     return joined.select("id_a", "id_b", jac.alias("jaccard_millis")).filter(
         F.col("jaccard_millis") >= threshold_millis
+    )
+
+
+def oversized_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    **kw,
+) -> DataFrame:
+    """(band_id, band_key, n_docs) of LSH buckets LARGER than ``max_bucket``
+    — exactly the candidate groups a capped ``jaccard_pairs`` silently skips.
+    Pairs with it so recall loss under a cap is measured, not assumed: at
+    scale, feed these buckets to a representative-based pass (e.g.
+    ``exact_dedup`` within the bucket, or verify each member against the
+    bucket's min-id doc only — linear, not quadratic) instead of dropping
+    them."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
     )
 
 

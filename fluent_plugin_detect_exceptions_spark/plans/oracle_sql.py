@@ -441,6 +441,33 @@ SELECT band_id, band_key,
 FROM bands GROUP BY band_id, band_key HAVING count(*) > 1"""
 
 
+def oversized_buckets_sql(max_bucket: int = 256, num_hashes: int = 8,
+                          band_size: int = 2, k: int = 5) -> str:
+    """Mirror of operators.dedup.oversized_lsh_buckets: LSH band buckets
+    holding more than ``max_bucket`` docs — the groups a capped
+    jaccard_pairs skips (recall-loss visibility, ADVICE r2)."""
+    sigs = [
+        f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
+        for j in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        key_parts = " || ',' || ".join(
+            f"CAST(s{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key_parts}) AS band_key FROM sigs"
+        )
+    union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
+sigs AS (SELECT doc_id, {', '.join(sigs)} FROM sh),
+bands AS ({union})
+SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY band_id, band_key HAVING count(*) > {max_bucket}"""
+
+
 def simhash_buckets_sql(prefix_bits: int = 8) -> str:
     """Bit-identical mirror of operators.dedup.simhash_signatures_df /
     simhash_near_dups: 60-bit SimHash by per-bit ±1 vote over whitespace
