@@ -554,11 +554,21 @@ def _with_chunks(df: DataFrame, cfg: PipelineConfig, fallback_convs) -> DataFram
 def find_fallback_convs(
     df: DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
 ) -> list:
-    """Pre-pass over chunk-boundary zones only: conversations whose warm-up
-    zone for some chunk (per stream, when a stream column demuxes the FSMs)
-    has no synchronization point cannot be chunk-scanned exactly and are
-    processed whole.  Touches only ``warmup/chunk_size`` of the rows,
-    column-pruned to (conv[, stream], turn, text)."""
+    """Pre-pass: conversations that cannot be chunk-scanned exactly and must
+    be processed whole.  Two independent detections, unioned:
+
+    1. **Unsynchronizable warm-up** — a zone with rows but no synchronization
+       point (wall-to-wall stack traces).  Scans only ``warmup/chunk_size``
+       of the rows, column-pruned to (conv[, stream], turn, text).
+    2. **Expected-but-empty warm-up zone** (ADVICE r2) — a (conv[, stream])
+       occupies some chunk b>0 whose preceding zone ``[b*C-W, b*C)`` holds no
+       rows at all (sparse stream, a turn hole wider than ``warmup`` spanning
+       the boundary, or a conversation starting mid-chunk).  Such a group is
+       invisible to check 1 (no zone rows → no group), and the chunk scan
+       cannot verify its forced reset — route it whole so output is CORRECT
+       rather than merely flagged sync_ok=False.  This half scans only the
+       narrow (conv[, stream], turn) integer/key columns.
+    """
     if msg_field is None:
         return []
     c, o = cfg.chunk_size, cfg.warmup
@@ -597,11 +607,40 @@ def find_fallback_convs(
             }
         )
 
-    bad = (
+    bad_sync = (
         zone.groupBy(*group)
         .applyInPandas(check, schema=out_schema)
         .filter(~F.col("synced"))
         .select("conv")
+    )
+
+    # check 2: chunk occupancy vs zone presence per (conv[, stream]).  One
+    # map-side-combinable groupBy over the narrow key columns (collect_set
+    # dedupes in the partial aggregate, so the shuffle carries a handful of
+    # chunk ids per group, not rows); bad = some occupied chunk b>0 whose
+    # preceding zone chunk (b-1) has no zone row.
+    chk = F.expr(f"{cfg.order_col} div {c}").cast("long")
+    z = (F.col(cfg.order_col) % c) >= (c - o)
+    occ_keys = ["conv"] if cfg.stream is None else ["conv", "strm"]
+    occ_sel = [F.col(cfg.conv_col).alias("conv")]
+    if cfg.stream is not None:
+        occ_sel.append(F.col(cfg.stream).alias("strm"))
+    occ = (
+        df.select(*occ_sel, chk.alias("chk"), F.when(z, chk).alias("zchk"))
+        .groupBy(*occ_keys)
+        .agg(
+            F.collect_set("chk").alias("chunks"),
+            F.collect_set("zchk").alias("zchunks"),
+        )
+    )
+    missing = F.array_except(
+        F.transform(F.filter(F.col("chunks"), lambda x: x > 0), lambda x: x - 1),
+        F.col("zchunks"),
+    )
+    bad_zone = occ.filter(F.size(missing) > 0).select("conv")
+
+    bad = (
+        bad_sync.unionByName(bad_zone)
         .distinct()
         .limit(cfg.max_fallback_convs + 1)
         .collect()

@@ -386,12 +386,7 @@ def test_window_segment_ids_equal_seg_start_turn(spark):
     assert sorted(by_window.values(), key=sorted) == sorted(by_sst.values(), key=sorted)
 
 
-def test_turn_hole_spanning_chunk_boundary_flags_unsynced(spark):
-    """ADVICE r1: a turn_idx hole wider than `warmup` across a chunk boundary
-    leaves the warm-up zone empty — the chunk scan can't prove its forced
-    reset is exact, so its rows must carry sync_ok=False (never report an
-    unverifiable scan as synced).  A continuous conversation in the same run
-    stays fully synced."""
+def _hole_and_cont_rows():
     hole_rows = [
         {"conv_id": "hole", "turn_idx": i, "role": "u", "text": t, "tool": "t",
          "ts": BASE_EPOCH + i}
@@ -405,19 +400,84 @@ def test_turn_hole_spanning_chunk_boundary_flags_unsynced(spark):
          "tool": "t", "ts": BASE_EPOCH + i}
         for i in range(131)
     ]
-    df = spark.createDataFrame(hole_rows + cont_rows).withColumn(
+    return hole_rows + cont_rows
+
+
+def test_turn_hole_spanning_chunk_boundary_routes_to_fallback(spark):
+    """ADVICE r2: a turn_idx hole wider than `warmup` across a chunk boundary
+    leaves the warm-up zone EMPTY — no zone rows means the conversation is
+    invisible to the zone-sync check.  The occupancy half of the pre-pass
+    must route it to whole-conversation fallback, so output is CORRECT and
+    fully synced (spark_routed asserts no sync_ok=False rows) instead of
+    split-and-flagged.  The continuous conversation stays chunk-scanned."""
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import (
+        find_fallback_convs,
+    )
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+
+    df = spark.createDataFrame(_hole_and_cont_rows()).withColumn(
         "ts", F.timestamp_seconds("ts")
     )
     cfg = PipelineConfig(chunk_size=64, warmup=8)
+    fb = find_fallback_convs(df, cfg, compile_rules(cfg.languages), "text")
+    assert fb == ["hole"]
+    assert spark_routed(df, cfg) == spark_routed(df, PipelineConfig(chunk_size=0))
+
+
+def test_turn_hole_defensive_flag_without_prepass(spark):
+    """Defense-in-depth kept from r1: if an (incorrect) externally supplied
+    fallback list bypasses the pre-pass, the scan stage still never reports
+    an unverifiable chunk scan as synced — the empty-warm-up group carries
+    sync_ok=False."""
+    df = spark.createDataFrame(_hole_and_cont_rows()).withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    cfg = PipelineConfig(chunk_size=64, warmup=8, assume_long_convs=True,
+                         known_fallback_convs=())
     routed = detect_exceptions(df, cfg)
     flagged = routed.filter(~F.col("sync_ok")).collect()
     assert {r["conv_id"] for r in flagged} == {"hole"}
     assert all(r["first_turn_idx"] >= 100 for r in flagged)
-    # the continuous conv is chunk-scanned with warm-up sync and stays exact
     cont = sorted(
         (r["first_turn_idx"], r["text"]) for r in routed.filter(F.col("conv_id") == "cont").collect()
     )
     assert len(cont) == 131 and all(t == "line %d\n" % ft for ft, t in cont)
+
+
+def test_sparse_stream_empty_zone_routes_to_fallback(spark):
+    """ADVICE r2 exact scenario: with a stream column active, a sparse
+    stream whose warm-up zone at a chunk boundary is empty (a single trace
+    interrupted by a >warmup turn hole) while another stream is dense.  The
+    pre-pass must detect the expected-but-empty zone PER STREAM and fall
+    back, producing the same single stitched trace as the unchunked run."""
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import (
+        find_fallback_convs,
+    )
+    from fluent_plugin_detect_exceptions_spark.rules import compile_rules
+
+    trace = fx.lines(fx.JAVA_EXC)
+    rows = [
+        {"conv_id": "c", "turn_idx": 30 + i, "role": "u", "tool": "a",
+         "text": t, "ts": BASE_EPOCH + 30 + i}
+        for i, t in enumerate(trace[:3])
+    ] + [
+        {"conv_id": "c", "turn_idx": 100 + i, "role": "u", "tool": "a",
+         "text": t, "ts": BASE_EPOCH + 100 + i}
+        for i, t in enumerate(trace[3:])
+    ] + [
+        {"conv_id": "c", "turn_idx": i, "role": "u", "tool": "b",
+         "text": "line %d\n" % i, "ts": BASE_EPOCH + i}
+        for i in range(131)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    cfg = PipelineConfig(stream="tool", chunk_size=64, warmup=8)
+    fb = find_fallback_convs(df, cfg, compile_rules(cfg.languages), "text")
+    assert fb == ["c"]
+    got = spark_routed(df, cfg)
+    assert got == spark_routed(df, PipelineConfig(stream="tool", chunk_size=0))
+    # the interrupted trace coalesces into ONE record spanning the hole
+    trace_recs = [r for r in got if r[5] and r[5].startswith(trace[0][:20])]
+    assert len(trace_recs) == 1 and trace_recs[0][7] == 6  # n_lines
 
 
 def test_sparse_turn_idx(spark):
