@@ -38,12 +38,48 @@ def config_fingerprint(cfg, n_buckets: int) -> str:
     return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def prepass_fingerprint(config_fp: str, input_path: str, df) -> str:
+    """Digest binding a persisted pre-pass result (max-turn gate + fallback
+    list) to the (config, input snapshot) it was computed over: the config
+    fingerprint plus the sorted input file list.  Caveat: this captures the
+    file SET, not file contents — an in-place overwrite of a same-named file
+    defeats it; append-only / immutable-file layouts (parquet ingest,
+    Iceberg snapshots) satisfy the assumption, and a changed file list
+    invalidates the entry so the pre-pass re-runs."""
+    files = sorted(df.inputFiles())
+    payload = {"config": config_fp, "input": input_path, "files": files}
+    return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
 @dataclass
 class BucketManifest:
     path: str
 
     def _file(self) -> str:
         return os.path.join(self.path, "manifest.jsonl")
+
+    def _prepass_file(self) -> str:
+        return os.path.join(self.path, "prepass.json")
+
+    def load_prepass(self, fingerprint: str) -> dict | None:
+        """Pre-pass result persisted by an earlier run over the same input
+        snapshot + config, or None (missing or different fingerprint — the
+        caller re-discovers and overwrites)."""
+        try:
+            with open(self._prepass_file()) as f:
+                e = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        return e.get("data") if e.get("fingerprint") == fingerprint else None
+
+    def save_prepass(self, fingerprint: str, data: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._prepass_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fingerprint, "data": data}, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._prepass_file())
 
     def completed(self, fingerprint: str | None = None) -> dict[int, dict]:
         """Completed buckets.  When ``fingerprint`` is given, any entry

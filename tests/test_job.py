@@ -83,6 +83,58 @@ def test_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
         jobmod.main(argv + ["--max-lines", "7"])
 
 
+def test_prepass_persisted_and_replayed_on_resume(spark, tmp_path, monkeypatch):
+    """VERDICT r2: the max-turn gate + fallback discovery run ONCE; a resumed
+    run over the same input snapshot + config replays the persisted result
+    with zero pre-pass jobs.  A changed input file set invalidates it."""
+    src = str(tmp_path / "t.parquet")
+    out = str(tmp_path / "out3")
+    synth_transcripts(spark, 10, repeats=2).write.mode("overwrite").parquet(src)
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.Builder.getOrCreate", lambda self: spark
+    )
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    calls = []
+    orig_prepass = jobmod.run_prepass
+
+    def counting_prepass(*a, **k):
+        calls.append(1)
+        return orig_prepass(*a, **k)
+
+    monkeypatch.setattr(jobmod, "run_prepass", counting_prepass)
+
+    argv = ["--input", src, "--output", out, "--buckets", "2",
+            "--chunk-size", "32", "--warmup", "8"]
+    jobmod.main(argv)
+    assert calls == [1]
+    pre = json.load(open(f"{out}/_checkpoint/prepass.json"))
+    assert pre["data"]["max_turn"] >= 32  # gate actually fired + discovery ran
+    assert pre["data"]["fallback_convs"] is not None
+
+    # partial resume: drop bucket 1's manifest entry — the bucket reruns but
+    # the pre-pass is REPLAYED from the checkpoint, not recomputed
+    lines = open(f"{out}/_checkpoint/manifest.jsonl").read().strip().splitlines()
+    with open(f"{out}/_checkpoint/manifest.jsonl", "w") as f:
+        for ln in lines:
+            if json.loads(ln)["bucket"] != 1:
+                f.write(ln + "\n")
+    jobmod.main(argv)
+    assert calls == [1]
+    routed = spark.read.parquet(f"{out}/routed")
+    direct = detect_exceptions(
+        spark.read.parquet(src), PipelineConfig(chunk_size=32, warmup=8)
+    )
+    assert routed.count() == direct.count()
+
+    # a new input file invalidates the prepass fingerprint -> re-discovers
+    synth_transcripts(spark, 2, repeats=1).write.mode("append").parquet(src)
+    with open(f"{out}/_checkpoint/manifest.jsonl", "w"):
+        pass  # clear buckets so the run proceeds (input changed)
+    jobmod.main(argv)
+    assert calls == [1, 1]
+
+
 def test_job_with_stream_and_limits(spark, tmp_path, monkeypatch):
     """Non-default configs through the spark-submit entry point: stream
     demux + max_lines, bucketed resume machinery and observed metrics all
