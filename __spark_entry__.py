@@ -243,6 +243,22 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, qv, k=10)
 
 
+def _q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SCALE path of ANN (VERDICT r2): round-trip through the
+    # materialized bucket-PARTITIONED index — build_lsh_index writes one
+    # directory per hyperplane signature, ann_topk_indexed reads only the
+    # query's partition (PartitionFilters prune ~1/2^n_planes of the data).
+    # Oracle: identical to ann_lsh_topk (same planes, same bucket, same
+    # exact cosine inside it).
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="gate_ann_index_") + "/index"
+    S.build_lsh_index(emb, path, dim=64)
+    return S.ann_topk_indexed(spark, path, qv, k=10)
+
+
 def _q_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast lookup-enrich (north rule): routed records joined to the
     # language metadata dim with an explicit broadcast hash join
@@ -312,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "lsh_oversized_buckets": _q_lsh_oversized,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_indexed_topk": _q_ann_indexed,
         "sink_counts": _q_sink_counts,
         "classify_start": _q_classify_start,
         "demux_counts": _q_demux_counts,
@@ -405,6 +422,7 @@ FROM events WHERE event_type = 'error'""",
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),
         "ann_lsh_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
+        "ann_indexed_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
         "embedding_dups": O.embedding_dup_pairs_sql(dim=64, threshold_micro=0),
         "enriched_pipeline": O.pipeline_sql(
             N_CONVS, REPEATS, final_select=_enriched_final()

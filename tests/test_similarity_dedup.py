@@ -27,7 +27,7 @@ def _qv(spark):
 def test_ann_indexed_equals_on_the_fly(spark, tmp_path):
     emb, qv = _emb(spark), _qv(spark)
     idx = str(tmp_path / "lsh_index")
-    S.build_lsh_index(emb, idx)
+    S.build_lsh_index(emb, idx, dim=64)
     got = [tuple(r) for r in S.ann_topk_indexed(spark, idx, qv, k=10).collect()]
     want = [tuple(r) for r in S.lsh_bucketed_topk(emb, qv, k=10).collect()]
     assert got == want and len(got) > 0
@@ -39,7 +39,7 @@ def test_ann_indexed_scan_is_partition_pruned(spark, tmp_path):
     table plus a post-filter."""
     emb, qv = _emb(spark), _qv(spark)
     idx = str(tmp_path / "lsh_index")
-    S.build_lsh_index(emb, idx)
+    S.build_lsh_index(emb, idx, dim=64)
     plan_df = S.ann_topk_indexed(spark, idx, qv, k=10)
     buf = io.StringIO()
     with redirect_stdout(buf):
