@@ -68,6 +68,18 @@ def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_counts(detect_exceptions(df, FLAGSHIP_CFG))
 
 
+def _q_sink_counts_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 2-exchange counts-only fast path (VERDICT r2 item 5): per-sink
+    # counts straight from fused partials, skipping the coalesce groupBy —
+    # same oracle as sink_counts
+    from fluent_plugin_detect_exceptions_spark.operators.route import (
+        detect_sink_counts,
+    )
+
+    df = synth_transcripts(spark, N_CONVS, REPEATS)
+    return detect_sink_counts(df, FLAGSHIP_CFG)
+
+
 def _q_classify_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = compile_rules(("all",))
     expr = None
@@ -330,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_indexed_topk": _q_ann_indexed,
         "sink_counts": _q_sink_counts,
+        "sink_counts_fast": _q_sink_counts_fast,
         "classify_start": _q_classify_start,
         "demux_counts": _q_demux_counts,
         "tag_rewrite": _q_tag_rewrite,
@@ -408,6 +421,7 @@ SELECT event_id, user_id,
        CAST(floor(value * 100) AS BIGINT) AS value_cents
 FROM events WHERE event_type = 'error'""",
         "sink_counts": O.sink_counts_sql(N_CONVS, REPEATS),
+        "sink_counts_fast": O.sink_counts_sql(N_CONVS, REPEATS),
         "classify_start": O.classify_start_sql(N_CONVS, REPEATS),
         "demux_counts": O.demux_counts_sql(N_CONVS, REPEATS),
         "tag_rewrite": O.tag_rewrite_sql(5),

@@ -40,6 +40,55 @@ def sink_counts(routed: DataFrame) -> DataFrame:
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
 
 
+def fused_sink_counts(partials: DataFrame) -> DataFrame:
+    """Per-sink record counts DIRECTLY from fused segment partials, skipping
+    the coalesce groupBy: 2 exchanges total instead of 3 (VERDICT r2).
+
+    Correctness rests on two invariants of the fused scan stage:
+
+    * exactly ONE partial per final record has ``part_min_turn ==
+      seg_start_turn`` — the segment-start row is always an emitted body row
+      (a dropped nil row isolates into a zero-partial segment, and the
+      warm-up replay of a boundary-spanning start is excluded from partials),
+      so the first partial carries the segment-start turn and later chunks'
+      partials carry strictly greater turns;
+    * a record's lang/sink is its FIRST partial's ``lang_id`` (the same
+      packed-min rule ``coalesce_partials`` uses).
+
+    Plan: scan-stage exchange → Filter → partial HashAggregate → one tiny
+    exchange of ≤(#sinks) rows per partition.  The segment-stitching
+    exchange on (conv, seg_start_turn) never happens.  Asserted by
+    test_fused_sink_counts_plan_has_two_exchanges."""
+    from ..rules import FAMILIES
+
+    sink = F.when(
+        F.col("lang_id") >= 0,
+        F.concat(
+            F.lit("lang_"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in FAMILIES]),
+                F.col("lang_id").cast("int") + 1,
+            ),
+        ),
+    ).otherwise(F.lit("passthrough"))
+    return (
+        partials.filter(F.col("part_min_turn") == F.col("seg_start_turn"))
+        .select(sink.alias("sink"))
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def detect_sink_counts(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Counts-only entry point: transcripts → per-sink record counts via the
+    fused partials fast path (requires ``cfg.fuse_coalesce``)."""
+    from .segmenter import segment
+
+    if not cfg.fuse_coalesce:
+        raise ValueError("detect_sink_counts requires cfg.fuse_coalesce=True")
+    return fused_sink_counts(segment(df, cfg))
+
+
 def write_sinks(routed: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Fan-out write: one partition directory per sink (downstream readers
     consume a single sink via partition pruning)."""
