@@ -244,6 +244,31 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
     return func
 
 
+def state_metrics(query) -> list[dict]:
+    """Per-micro-batch state-store metrics from StreamingQueryProgress —
+    the observability hook for the bounded-state claim (VERDICT r2): one
+    entry per (batch, state operator) with the total state rows, state
+    bytes, and rows updated/removed that batch.  Under a timeout config,
+    ``rows_removed`` > 0 once idle conversations flush and ``state_rows``
+    stays bounded by the number of live conversations."""
+    import json as _json
+
+    out = []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        for so in d.get("stateOperators") or []:
+            out.append(
+                {
+                    "batch": d.get("batchId"),
+                    "state_rows": so.get("numRowsTotal"),
+                    "state_bytes": so.get("stateMemory") or so.get("memoryUsedBytes"),
+                    "rows_updated": so.get("numRowsUpdated"),
+                    "rows_removed": so.get("numRowsRemoved"),
+                }
+            )
+    return out
+
+
 def detect_exceptions_stream(
     stream_df: DataFrame, cfg: PipelineConfig, event_time: bool = False
 ) -> DataFrame:
