@@ -75,6 +75,19 @@ class PipelineConfig:
     #: objects.  The pandas fused stage (False) pays object-materialization
     #: and whole-DataFrame reorder taxes; kept for differential testing.
     arrow_stage: bool = True
+    #: drop ride-along columns (role/tool/...) before the scan stage and
+    #: re-join first-row fields onto the coalesced records by
+    #: (conv[, stream], first_turn_idx).  A Python map stage is opaque to
+    #: Catalyst, so without this the ride-alongs cross shuffle #1 and BOTH
+    #: Arrow transfers only to be picked by min_by at the end.  Measured at
+    #: 13.7M turns / 32 cores: shuffle #1 shrinks 47% (570→300 MB) and the
+    #: full pipeline runs 0.76× the ride-through wall time — the extra
+    #: narrow join costs less than moving the columns through the stage
+    #: (scripts/ride_along_experiment.py, BASELINE.md).  None = auto: on for
+    #: the shuffled fused path with a message field; off when
+    #: input_clustered (shuffle #1 is already elided there) and on the
+    #: per-row path.  True/False force.
+    slim_stage: bool | None = None
     #: the input's partitions already hold WHOLE conversations (a
     #: conv_id-bucketed table read with bucketed scan forced, or an Iceberg
     #: bucket(N, conv_id) table via storage-partitioned read): skip the

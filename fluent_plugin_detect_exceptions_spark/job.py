@@ -39,6 +39,7 @@ from .metrics import input_lineage, write_run_metadata
 from .operators.coalesce import coalesce_partials, coalesce_segments
 from .operators.route import with_out_tag, with_sink
 from .operators.segmenter import segment
+from .plans.pipeline import rejoin_ride, slim_split
 from .rules import FAMILIES, compile_rules
 from .sources.transcripts import read_transcripts
 
@@ -106,7 +107,9 @@ def run_bucket(spark, df, cfg, rules, out_dir: str, bucket: int) -> dict:
     classify+FSM stage or re-reading the written parquet.  The only extra
     pass is input lineage, a 2-column footer-light scan (column pruning)."""
     t0 = time.perf_counter()
-    seg = segment(df, cfg, rules)
+    msg_field = cfg.resolve_message_field(df.columns)
+    stage_df, ride = slim_split(df, cfg, msg_field)
+    seg = segment(stage_df, cfg, rules)
     seg_obs = Observation(f"seg_metrics_{bucket}")
     if "n_part" in seg.columns:  # fused partials
         seg = seg.observe(
@@ -122,9 +125,10 @@ def run_bucket(spark, df, cfg, rules, out_dir: str, bucket: int) -> dict:
             F.coalesce(F.sum(F.col("seg_flag").cast("long")), F.lit(0)).alias("segments_started"),
             F.coalesce(F.sum((~F.col("sync_ok")).cast("long")), F.lit(0)).alias("parts_unsynced"),
         )
-    msg_field = cfg.resolve_message_field(df.columns)
     coalesce = coalesce_partials if cfg.fuse_coalesce else coalesce_segments
-    routed = with_sink(with_out_tag(coalesce(seg, cfg, msg_field), cfg))
+    routed = with_sink(
+        with_out_tag(rejoin_ride(coalesce(seg, cfg, msg_field), ride, cfg), cfg)
+    )
     sink_obs = Observation(f"sink_counts_{bucket}")
     routed = routed.observe(
         sink_obs,

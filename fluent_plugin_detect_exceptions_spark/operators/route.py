@@ -81,12 +81,25 @@ def fused_sink_counts(partials: DataFrame) -> DataFrame:
 
 def detect_sink_counts(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Counts-only entry point: transcripts → per-sink record counts via the
-    fused partials fast path (requires ``cfg.fuse_coalesce``)."""
+    fused partials fast path (requires ``cfg.fuse_coalesce``).
+
+    Projects the input to exactly the columns the scan needs before the
+    stage: a Python map stage is OPAQUE to Catalyst, so column pruning does
+    not push through it — without the explicit select, ride-along columns
+    the counts never use would ride shuffle #1 and both Arrow transfers."""
     from .segmenter import segment
 
     if not cfg.fuse_coalesce:
         raise ValueError("detect_sink_counts requires cfg.fuse_coalesce=True")
-    return fused_sink_counts(segment(df, cfg))
+    keep = [cfg.conv_col, cfg.order_col]
+    if cfg.stream is not None:
+        keep.append(cfg.stream)
+    msg_field = cfg.resolve_message_field(df.columns)
+    if msg_field is not None:
+        keep.append(msg_field)
+    if cfg.multiline_flush_interval is not None:
+        keep.append(cfg.ts_col)
+    return fused_sink_counts(segment(df.select(*keep), cfg))
 
 
 def write_sinks(routed: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -359,6 +359,36 @@ def test_arrow_stage_equals_pandas_stage(spark):
         assert a == b, kw
 
 
+def test_slim_stage_equals_ride_through(spark):
+    """VERDICT r2 item 7 (measured keep): dropping ride-along columns before
+    the scan stage and re-joining first-row fields after coalesce must be
+    row-identical to riding them through, across config shapes — including
+    nil messages (pass-through records join their own turn's fields)."""
+    extra = [
+        {"conv_id": "niltest", "turn_idx": i, "role": "u", "tool": "t",
+         "ts": BASE_EPOCH + i, "text": t}
+        for i, t in enumerate(
+            [fx.lines(fx.JAVA_EXC)[0], fx.lines(fx.JAVA_EXC)[1], None,
+             "plain\n", None]
+        )
+    ]
+    df = synth_transcripts(spark, 12, repeats=2).unionByName(
+        spark.createDataFrame(extra).withColumn("ts", F.timestamp_seconds("ts"))
+        .select(*synth_transcripts(spark, 1, 1).columns)
+    )
+    for kw in (
+        dict(),
+        dict(chunk_size=64, warmup=16),
+        dict(max_lines=3),
+        dict(force_line_breaks=True),
+        dict(multiline_flush_interval=5.0),
+        dict(stream="tool", chunk_size=64, warmup=16),
+    ):
+        a = spark_routed(df, PipelineConfig(slim_stage=True, **kw))
+        b = spark_routed(df, PipelineConfig(slim_stage=False, **kw))
+        assert a == b, kw
+
+
 def test_fused_sink_counts_matches_full_path(spark):
     """The 2-exchange counts fast path (route.fused_sink_counts) must equal
     sink_counts over the full pipeline for every config shape, including
