@@ -220,6 +220,20 @@ def main() -> None:
     (nb_routed, counts_map_b) = timed("exception_pipeline_bucketed", run_pipeline_bucketed)
     assert counts_map_b == counts_map, (counts_map_b, counts_map)
 
+    # q1c: counts-ONLY fast path (2 exchanges: fused partials -> tiny count
+    # agg, no coalesce groupBy, input projected to scan columns) — the shape
+    # for monitoring/sampling consumers that never materialize records
+    from fluent_plugin_detect_exceptions_spark.operators.route import (
+        detect_sink_counts,
+    )
+
+    def run_counts_fast():
+        cmap = {r["sink"]: r["n"] for r in detect_sink_counts(transcripts, cfg).collect()}
+        return cmap
+
+    counts_fast = timed("sink_counts_fast", run_counts_fast)
+    assert counts_fast == counts_map, (counts_fast, counts_map)
+
     # q2: exact + minhash dedup over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("dedup_exact", lambda: docs.groupBy(F.md5("text")).count().count())
