@@ -61,6 +61,17 @@ class PipelineConfig:
     #: With parquet aggregate pushdown the gate is footer-only anyway, but
     #: job-scheduling latency is the scaling-efficiency tax at small inputs.
     assume_long_convs: bool = False
+    #: the operator asserts turn_idx is DENSE (0,1,2,... with no holes)
+    #: within every FSM stream group (conv[, stream]).  Under that contract
+    #: an expected-but-empty warm-up zone is impossible (any group reaching
+    #: chunk b has every turn below b*chunk_size), so the occupancy half of
+    #: the sync pre-pass is skipped — measured ~0.9-1.0 s of a ~1.8 s
+    #: pre-pass at 13.7M turns / 32 cores.  Like assume_long_convs, a
+    #: production contract knob: if the input violates it, chunk-spanning
+    #: segments after a hole are split and flagged sync_ok=False rather than
+    #: silently wrong.  NB: with a `stream` column the contract is per
+    #: (conv, stream), which interleaved streams do NOT satisfy.
+    assume_dense_turns: bool = False
     #: externally supplied fallback-conversation list (e.g. proven by a prior
     #: run's manifest over the same immutable input): skips the sync pre-pass
     #: entirely.  None = discover with the pre-pass; () = "none exist".

@@ -618,7 +618,13 @@ def find_fallback_convs(
     # map-side-combinable groupBy over the narrow key columns (collect_set
     # dedupes in the partial aggregate, so the shuffle carries a handful of
     # chunk ids per group, not rows); bad = some occupied chunk b>0 whose
-    # preceding zone chunk (b-1) has no zone row.
+    # preceding zone chunk (b-1) has no zone row.  Skipped under the
+    # assume_dense_turns contract (empty expected zones impossible).
+    if cfg.assume_dense_turns:
+        bad = (
+            bad_sync.distinct().limit(cfg.max_fallback_convs + 1).collect()
+        )
+        return [r["conv"] for r in bad]
     chk = F.expr(f"{cfg.order_col} div {c}").cast("long")
     z = (F.col(cfg.order_col) % c) >= (c - o)
     occ_keys = ["conv"] if cfg.stream is None else ["conv", "strm"]

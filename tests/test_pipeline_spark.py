@@ -518,6 +518,10 @@ def test_turn_hole_spanning_chunk_boundary_routes_to_fallback(spark):
     fb = find_fallback_convs(df, cfg, compile_rules(cfg.languages), "text")
     assert fb == ["hole"]
     assert spark_routed(df, cfg) == spark_routed(df, PipelineConfig(chunk_size=0))
+    # the assume_dense_turns contract knob skips the occupancy half — on a
+    # (contract-violating) holey input the conv is then NOT discovered
+    dense_cfg = PipelineConfig(chunk_size=64, warmup=8, assume_dense_turns=True)
+    assert find_fallback_convs(df, dense_cfg, compile_rules(cfg.languages), "text") == []
 
 
 def test_turn_hole_defensive_flag_without_prepass(spark):
