@@ -181,9 +181,13 @@ def main() -> None:
     # assume_long_convs: the bench table is KNOWN to hold 50k-turn skew
     # conversations, so the max-turn gate job is skipped (production knob;
     # the sync pre-pass still runs as real timed work).
+    # assume_dense_turns: the bench table is synthesized with dense 0-based
+    # turn numbering (the input_hint contract), so the occupancy half of the
+    # pre-pass is provably unnecessary — same production-knob rationale as
+    # assume_long_convs; its cost when active is measured in BASELINE.md.
     cfg = PipelineConfig(
         remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
-        assume_long_convs=True,
+        assume_long_convs=True, assume_dense_turns=True,
     )
     def run_pipeline():
         # single action: the per-sink aggregate IS the headline output; the
@@ -209,7 +213,7 @@ def main() -> None:
     bucketed = spark.table("bench_bucketed")
     cfg_b = PipelineConfig(
         remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
-        assume_long_convs=True, input_clustered=True,
+        assume_long_convs=True, assume_dense_turns=True, input_clustered=True,
     )
 
     def run_pipeline_bucketed():

@@ -99,8 +99,9 @@ def main() -> None:
     )
     transcripts = spark.read.parquet(f"{tmp}/t.parquet")
     n_turns = transcripts.count()
+    # dense synthetic turns -> occupancy pre-pass provably unnecessary
     cfg = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
-                     assume_long_convs=True)
+                     assume_long_convs=True, assume_dense_turns=True)
     # production layout: conv-bucketed table, shuffle #1 elided
     spark.sql("DROP TABLE IF EXISTS scaling_bucketed")
     (transcripts.write.mode("overwrite").format("parquet")
@@ -109,7 +110,8 @@ def main() -> None:
      .saveAsTable("scaling_bucketed"))
     bucketed = spark.table("scaling_bucketed")
     cfg_b = PipelineConfig(remove_tag_prefix="conv", chunk_size=16_384, warmup=2_048,
-                           assume_long_convs=True, input_clustered=True)
+                           assume_long_convs=True, assume_dense_turns=True,
+                           input_clustered=True)
 
     def run_counts(df_in, c) -> float:
         t0 = time.perf_counter()
