@@ -271,6 +271,21 @@ def _q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_indexed(spark, path, qv, k=10)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the IVF scale path (complement to hyperplane LSH): deterministic
+    # md5-sampled centroids -> centroid-partitioned index -> n_probe
+    # partitions read (PartitionFilters prune the rest); oracle re-derives
+    # the identical centroids in SQL
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, n_centroids=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="gate_ivf_index_") + "/index"
+    S.build_ivf_index(emb, path, cents)
+    return S.ivf_topk_indexed(spark, path, cents, qv, k=10, n_probe=2)
+
+
 def _q_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast lookup-enrich (north rule): routed records joined to the
     # language metadata dim with an explicit broadcast hash join
@@ -341,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_oversized_buckets": _q_lsh_oversized,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_indexed_topk": _q_ann_indexed,
+        "ivf_topk": _q_ivf_topk,
         "sink_counts": _q_sink_counts,
         "sink_counts_fast": _q_sink_counts_fast,
         "classify_start": _q_classify_start,
@@ -437,6 +453,7 @@ FROM events WHERE event_type = 'error'""",
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),
         "ann_lsh_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
         "ann_indexed_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
+        "ivf_topk": O.ivf_topk_sql(n_centroids=8, n_probe=2, k=10),
         "embedding_dups": O.embedding_dup_pairs_sql(dim=64, threshold_micro=0),
         "enriched_pipeline": O.pipeline_sql(
             N_CONVS, REPEATS, final_select=_enriched_final()

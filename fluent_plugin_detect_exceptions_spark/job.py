@@ -64,6 +64,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--force-line-breaks", action="store_true")
     p.add_argument("--chunk-size", type=int, default=1 << 17)
     p.add_argument("--warmup", type=int, default=4096)
+    p.add_argument("--assume-long-convs", action="store_true",
+                   help="skip the max-turn gate job (input is known to hold "
+                        "chunk_size-plus conversations)")
+    p.add_argument("--assume-dense-turns", action="store_true",
+                   help="turn_idx is dense per (conv[, stream]): skip the "
+                        "occupancy half of the sync pre-pass")
     return p.parse_args(argv)
 
 
@@ -79,6 +85,8 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         stream=args.stream,
         chunk_size=args.chunk_size,
         warmup=args.warmup,
+        assume_long_convs=args.assume_long_convs,
+        assume_dense_turns=args.assume_dense_turns,
     )
 
 

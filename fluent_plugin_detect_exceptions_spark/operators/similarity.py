@@ -192,3 +192,92 @@ def ann_topk_indexed(
     qsig = query_signature(query_vec, n_planes)
     cand = spark.read.parquet(index_path).filter(F.col("__bucket") == qsig)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path alongside hyperplane LSH.
+# Centroids are a DETERMINISTIC pseudo-random sample (the n_centroids rows
+# with the smallest md5(id), ties by id): no RNG/training state, so the
+# DuckDB oracle re-derives the identical centroids in SQL.  Assignment is
+# argmax over dot(v, c)/|c| (the |v| factor is common, but the full
+# normalized score is used so the oracle expression matches term for term);
+# first-match tie-break = lowest centroid id on both engines.
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Collect the deterministic centroid sample (tiny: C×dim floats)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold double dot product — the same evaluation order as
+    the JVM ``aggregate`` expression and DuckDB's list_dot_product, so
+    driver-side scores are bit-equal to both engines."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def ivf_assign_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the best centroid by normalized dot score; ties go to
+    the FIRST (lowest-index) maximum — array_position semantics, mirrored by
+    the oracle's ``ORDER BY s DESC, cid`` row_number."""
+    import math
+
+    v = _as_double(vec_col)
+    sims = []
+    for c in centroids:
+        lit = F.array(*[F.lit(x) for x in c])
+        norm = math.sqrt(_fold_dot(c, c))
+        sims.append(dot(v, lit) / F.lit(norm))
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the inverted file: one parquet partition per centroid.
+    Queries read only their ``n_probe`` closest centroids' partitions —
+    PartitionFilters prune the rest at planning time, the same scale shape
+    as build_lsh_index."""
+    out = df.withColumn("__centroid", ivf_assign_expr(F.col(vec_col), centroids))
+    out.write.mode("overwrite").partitionBy("__centroid").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k within the query's ``n_probe`` closest IVF
+    partitions (driver-side centroid ranking uses the same fold arithmetic
+    as the executors and the oracle)."""
+    import math
+
+    scored = []
+    for cid, c in enumerate(centroids):
+        scored.append((_fold_dot(query_vec, c) / math.sqrt(_fold_dot(c, c)), cid))
+    probes = [cid for _s, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    cand = spark.read.parquet(index_path).filter(F.col("__centroid").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

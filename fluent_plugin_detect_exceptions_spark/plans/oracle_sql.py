@@ -538,6 +538,47 @@ SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
 FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
 
 
+def ivf_topk_sql(n_centroids: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """Mirror of operators.similarity.ivf_* : centroids are re-derived with
+    the identical deterministic rule (smallest md5(CAST(id AS VARCHAR)),
+    ties by id), assignment is argmax of list_dot_product(v, c)/sqrt(|c|²)
+    with lowest-cid tie-break (row_number ORDER BY s DESC, cid ==
+    array_position-first on bit-equal doubles), probe = top n_probe
+    centroids by the same score against the query, exact cosine inside."""
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY md5v, vid) - 1 AS cid, ce
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS md5v, vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings ORDER BY 1, 2 LIMIT {n_centroids})
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+assign AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           list_dot_product(v.e, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+    FROM v CROSS JOIN c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1
+),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           list_dot_product(q.qe, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+    FROM c CROSS JOIN q
+  ) QUALIFY row_number() OVER (ORDER BY s DESC, cid) <= {n_probe}
+),
+s AS (
+  SELECT a.vec_id,
+         list_dot_product(a.e, q.qe) / sqrt(list_dot_product(a.e, a.e))
+           / sqrt(list_dot_product(q.qe, q.qe)) AS sim
+  FROM assign a JOIN qprobe p ON a.cid = p.cid CROSS JOIN q
+)
+SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
+
+
 def embedding_dup_pairs_sql(dim: int = 64, n_planes: int = 8,
                             threshold_micro: int = 0) -> str:
     """Mirror of operators.similarity.embedding_dup_pairs: full-signature

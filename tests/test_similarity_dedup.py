@@ -56,6 +56,34 @@ def test_ann_indexed_scan_is_partition_pruned(spark, tmp_path):
     assert n_parts > 1  # pruning is meaningful: several buckets exist
 
 
+def test_ivf_index_pruned_and_self_hit(spark, tmp_path):
+    """IVF scale path: the scan reads only the n_probe probed centroid
+    partitions (PartitionFilters on __centroid), the query vector's own
+    partition is always probed (its assigned centroid IS the top-1 probe),
+    so the query appears as the exact top hit."""
+    emb, qv = _emb(spark), _qv(spark)
+    cents = S.ivf_centroids(emb, n_centroids=8)
+    assert len(cents) == 8
+    idx = str(tmp_path / "ivf_index")
+    S.build_ivf_index(emb, idx, cents)
+    n_parts = spark.read.parquet(idx).select("__centroid").distinct().count()
+    assert n_parts > 2  # pruning is meaningful
+    plan_df = S.ivf_topk_indexed(spark, idx, cents, qv, k=5, n_probe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "__centroid" in pf_line, pf_line
+    got = [tuple(r) for r in plan_df.collect()]
+    assert got[0] == (0, 1_000_000)  # the query vector itself, cosine 1.0
+    # deterministic: a rebuild + re-probe returns identical rows
+    S.build_ivf_index(emb, str(tmp_path / "ivf2"), cents)
+    again = [tuple(r) for r in S.ivf_topk_indexed(
+        spark, str(tmp_path / "ivf2"), cents, qv, k=5, n_probe=2).collect()]
+    assert again == got
+
+
 def test_simhash_signature_is_deterministic_and_bounded(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     a = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures_df(docs).collect()}
