@@ -153,6 +153,13 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rolling-hash document fingerprints (winnowing): shared substrings of
+    # length >= k+w-1 guarantee a shared fingerprint — the substring-level
+    # dedup/attribution primitive, vs `fingerprint`'s exact-match md5
+    return T.winnow_fingerprints_df(_docs(spark, sf_dir))
+
+
 def _q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_buckets(_docs(spark, sf_dir))
 
@@ -367,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -448,6 +456,7 @@ FROM events WHERE event_type = 'error'""",
         "quality_stats": O.QUALITY_SQL,
         "lang_id": O.lang_id_doc_sql(),
         "fingerprint": O.FINGERPRINT_SQL,
+        "winnow_fingerprints": O.winnow_fingerprints_sql(),
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),

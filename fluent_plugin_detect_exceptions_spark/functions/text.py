@@ -72,6 +72,54 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized(col))
 
 
+def gram_hashes(col: Column, k: int = 7) -> Column:
+    """Positional k-gram rolling hashes of the normalized text (portable
+    60-bit hash per gram); texts shorter than k yield one whole-text hash."""
+    base = normalized(col)
+    n = F.length(base)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: stable_hash64(base.substr(i + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array(stable_hash64(base)))
+
+
+def window_minima(grams_col: Column, w: int = 5) -> Column:
+    """Distinct minima of every ``w``-wide sliding window over a
+    MATERIALIZED gram-hash array column.  Must be fed an attribute, not the
+    gram expression inline: interpreted higher-order functions re-evaluate
+    a non-attribute child per window element, turning O(len·w) into
+    O(len²·k) — measured as a >100× slowdown at 300-char docs."""
+    m = F.size(grams_col)
+    return F.when(
+        m >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), m - w),
+                lambda j: F.array_min(F.slice(grams_col, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(grams_col)))
+
+
+def winnow_fingerprints_df(df, text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 7, w: int = 5):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): one
+    (id, fp) row per distinct sliding-window minimum of the k-gram rolling
+    hashes.  Any shared substring of length ≥ k+w-1 between two documents
+    guarantees a shared fingerprint — the substring-level dedup/attribution
+    primitive, vs ``fingerprint``'s exact-match md5.  Two projections so the
+    gram array materializes as an attribute between them (see
+    window_minima's note); entirely JVM expressions, shuffles nothing, exact
+    DuckDB mirror in plans/oracle_sql.winnow_fingerprints_sql."""
+    g = df.select(id_col, gram_hashes(F.col(text_col), k).alias("__grams"))
+    return g.select(
+        id_col, F.explode(window_minima(F.col("__grams"), w)).alias("fp")
+    )
+
+
 def quality_stats(col: Column) -> dict[str, Column]:
     """Integer-valued quality features (ints hash identically across
     engines; ratios are derived by consumers)."""

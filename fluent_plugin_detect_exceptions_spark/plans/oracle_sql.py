@@ -416,6 +416,33 @@ def _hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def winnow_fingerprints_sql(k: int = 7, w: int = 5) -> str:
+    """Mirror of functions.text.winnow_fingerprints: positional k-gram
+    rolling hashes → distinct sliding-window minima, exploded to
+    (doc_id, fp) rows."""
+    base = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    h = _hash64_sql(f"substr(base, i + 1, {k})")
+    return f"""
+WITH b AS (SELECT doc_id, {base} AS base FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(base) >= {k}
+              THEN list_transform(range(0, length(base) - {k} + 1), i -> {h})
+              ELSE [{_hash64_sql('base')}] END AS grams
+  FROM b
+),
+wmin AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {w}
+              THEN list_distinct(list_transform(
+                     range(0, len(grams) - {w} + 1),
+                     j -> list_min(list_slice(grams, j + 1, j + {w}))))
+              ELSE [list_min(grams)] END AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM wmin"""
+
+
 def minhash_bands_sql(num_hashes: int = 8, band_size: int = 2, k: int = 5) -> str:
     sigs = [
         f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"

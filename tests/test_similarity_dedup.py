@@ -100,6 +100,31 @@ def test_simhash_signature_is_deterministic_and_bounded(spark):
     assert sigs[900001] == sigs[900002]
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant: documents sharing a substring of length >=
+    k+w-1 (= 11 at k=7, w=5) share at least one fingerprint; documents with
+    no common k-gram share none.  Short texts (< k) degrade to one
+    whole-text hash."""
+    from fluent_plugin_detect_exceptions_spark.functions.text import (
+        winnow_fingerprints_df,
+    )
+
+    shared = "a common stretch of text"  # 24 chars >= 11
+    rows = [
+        (1, "prefix one %s suffix alpha" % shared),
+        (2, "other beginning %s different end" % shared),
+        (3, "zq jx wv kq px fy bm"),  # no 7-gram overlap with 1/2
+        (4, "tiny"),                   # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints_df(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1
+
+
 def test_jaccard_bucket_cap_drops_degenerate_buckets(spark):
     # 40 identical near-empty docs share every band -> one poisoned bucket;
     # with max_bucket below that, no pairs come out of it, while a pair of
