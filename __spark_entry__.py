@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_pairs": lambda spark, sf_dir: D.winnow_dup_pairs(
+            _docs(spark, sf_dir), min_shared=20
+        ),
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -457,6 +460,7 @@ FROM events WHERE event_type = 'error'""",
         "lang_id": O.lang_id_doc_sql(),
         "fingerprint": O.FINGERPRINT_SQL,
         "winnow_fingerprints": O.winnow_fingerprints_sql(),
+        "winnow_dup_pairs": O.winnow_dup_pairs_sql(min_shared=20),
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),

@@ -286,6 +286,43 @@ def oversized_lsh_buckets(
     )
 
 
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SHARED WINNOWING FINGERPRINTS: documents
+    sharing ≥ ``min_shared`` sliding-window minima (each implies a common
+    substring neighborhood) — the substring-level dedup verifier, catching
+    copied passages that shingle-set Jaccard dilutes away in long documents.
+
+    Scale shape: the self-join runs per fingerprint bucket (never
+    all-pairs); like every LSH-family bucket join, a fingerprint shared by
+    thousands of boilerplate docs goes quadratic — monitor with
+    ``oversized_lsh_buckets``-style counts on ``fp`` and cap or reroute
+    degenerate fingerprints upstream if the corpus has them."""
+    from ..functions.text import winnow_fingerprints_df
+
+    fps = winnow_fingerprints_df(df, text_col, id_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -443,6 +443,18 @@ wmin AS (
 SELECT doc_id, unnest(fps) AS fp FROM wmin"""
 
 
+def winnow_dup_pairs_sql(k: int = 7, w: int = 5, min_shared: int = 3) -> str:
+    """Mirror of operators.dedup.winnow_dup_pairs: count distinct shared
+    winnowing fingerprints per id pair."""
+    fps = winnow_fingerprints_sql(k, w)
+    return f"""
+WITH fps AS ({fps})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
 def minhash_bands_sql(num_hashes: int = 8, band_size: int = 2, k: int = 5) -> str:
     sigs = [
         f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
