@@ -229,6 +229,12 @@ def test_event_time_timeout_flush(spark, tmp_path):
         detect_exceptions_stream as des,
     )
 
+    from fluent_plugin_detect_exceptions_spark.streaming.stream_pipeline import (
+        make_state_metrics_listener,
+    )
+
+    listener = make_state_metrics_listener()
+    spark.streams.addListener(listener)
     out = des(stream, PipelineConfig(multiline_flush_interval=5), event_time=True)
     q = (
         out.writeStream.format("memory").queryName("et_stream").outputMode("append")
@@ -254,3 +260,17 @@ def test_event_time_timeout_flush(spark, tmp_path):
     assert all(m["state_rows"] <= 3 for m in sm), sm
     assert sum(m["rows_removed"] or 0 for m in sm) >= 1, sm
     assert any((m["state_bytes"] or 0) > 0 for m in sm), sm
+
+    # the listener variant captures every batch (async delivery: poll)
+    import time as _time
+
+    try:
+        for _ in range(40):
+            if len(listener.metrics()) >= len(sm):
+                break
+            _time.sleep(0.25)
+        lm = listener.metrics()
+        assert len(lm) >= len(sm), (len(lm), len(sm))
+        assert {m["batch"] for m in sm} <= {m["batch"] for m in lm}
+    finally:
+        spark.streams.removeListener(listener)
