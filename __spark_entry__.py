@@ -121,6 +121,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         T.punct_count(F.col("text")).alias("n_punct"),
         T.digit_count(F.col("text")).alias("n_digits"),
     )

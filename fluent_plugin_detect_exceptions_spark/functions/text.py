@@ -34,6 +34,18 @@ def token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(r"\S+")).cast("long")
 
 
+#: BPE-ish pre-tokenizer classes (GPT-2 style, minus the lookahead clauses —
+#: RE2, which the DuckDB oracle uses, has no lookahead): a token is a
+#: letter run, a digit run, or a punctuation run, each with an optional
+#: leading space.  Counts approximate subword-tokenizer token counts far
+#: better than whitespace splitting on code/punctuated text.
+BPE_TOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def punct_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(r"[.,!?;:]")).cast("long")
 
