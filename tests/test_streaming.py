@@ -127,6 +127,66 @@ def test_streaming_within_single_batch_exact(spark, tmp_path):
         assert want[k] == v
 
 
+def test_event_window_stream_with_watermark_drops_late_data(spark, tmp_path):
+    """Built-in streaming path (brief: 'watermarks + windowed aggs for late
+    data'): tumbling 1h windows close as the watermark (30 min) passes their
+    end and emit exactly once in append mode; a row arriving after its
+    window's watermark has passed is dropped from the aggregate."""
+    import glob
+    import time as _t
+
+    from fluent_plugin_detect_exceptions_spark.streaming.event_windows import (
+        event_window_counts,
+    )
+
+    H0 = 1_700_000_000 - (1_700_000_000 % 3600)  # aligned hour start
+    f1 = [(1, "a", H0 + 60, 1.0), (2, "a", H0 + 120, 2.5), (3, "b", H0 + 300, 1.0)]
+    f2 = [(4, "a", H0 + 2 * 3600 + 60, 3.0)]
+    f3 = [(6, "a", H0 + 4 * 3600, 1.0)]  # advances watermark, closes H0+2h
+    # LATE row in its own final batch: the watermark the late-row filter
+    # sees lags the data by one micro-batch, so by now it is provably past
+    # H0's window end regardless of that lag
+    f4 = [(5, "b", H0 + 600, 9.9)]
+    schema = "event_id long, event_type string, ts long, value double"
+    src = str(tmp_path / "ev")
+    for i, rows in enumerate((f1, f2, f3, f4)):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/part={i}")
+        now = _t.time() + i
+        for p in glob.glob(f"{src}/part={i}/*.parquet"):
+            os.utime(p, (now, now))
+
+    full_schema = spark.read.parquet(f"{src}/part=0").schema
+    stream = (
+        spark.readStream.schema(full_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = (
+        event_window_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory").queryName("ev_windows").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["w_start"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in spark.sql("select * from ev_windows").collect()
+    }
+    # H0 window closed and emitted; the late 'b' row (arrived after the
+    # watermark passed H0's end) is NOT counted
+    assert got[(H0, "a")] == (2, 350)
+    assert got[(H0, "b")] == (1, 100)
+    # H0+2h closed once the watermark passed its end (driven by f3)
+    assert got[(H0 + 2 * 3600, "a")] == (1, 300)
+    # the H0+4h window cannot have closed (nothing advances the watermark
+    # past its end) — append mode must not have emitted it
+    assert (H0 + 4 * 3600, "a") not in got
+    assert len(got) == 3, got
+
+
 class _FakeState:
     """Minimal GroupState stand-in for driving the state function directly."""
 
