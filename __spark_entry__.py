@@ -27,6 +27,26 @@ from fluent_plugin_detect_exceptions_spark.rules import STATES, compile_rules
 from fluent_plugin_detect_exceptions_spark.sources.transcripts import synth_transcripts
 
 N_CONVS = 40  # correctness-gate transcript size (fixed: oracle SQL embeds it)
+
+_GATE_TMPDIRS: list[str] = []
+
+
+def _gate_tmpdir(prefix: str) -> str:
+    """Temp dir for gate-query index round-trips, removed at process exit —
+    repeated gate runs must not accumulate orphaned parquet index copies in
+    /tmp (code-review r3).  Deletion is deferred to atexit because the gate
+    queries return LAZY DataFrames that read the directory at collect time."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _GATE_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(x, ignore_errors=True) for x in _GATE_TMPDIRS]
+        )
+    _GATE_TMPDIRS.append(d)
+    return d
 REPEATS = 1
 FLAGSHIP_CFG = PipelineConfig(remove_tag_prefix="conv", max_lines=0)
 
@@ -270,11 +290,9 @@ def _q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's partition (PartitionFilters prune ~1/2^n_planes of the data).
     # Oracle: identical to ann_lsh_topk (same planes, same bucket, same
     # exact cosine inside it).
-    import tempfile
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    path = tempfile.mkdtemp(prefix="gate_ann_index_") + "/index"
+    path = _gate_tmpdir("gate_ann_index_") + "/index"
     S.build_lsh_index(emb, path, dim=64)
     return S.ann_topk_indexed(spark, path, qv, k=10)
 
@@ -284,12 +302,10 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-sampled centroids -> centroid-partitioned index -> n_probe
     # partitions read (PartitionFilters prune the rest); oracle re-derives
     # the identical centroids in SQL
-    import tempfile
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = S.ivf_centroids(emb, n_centroids=8)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    path = tempfile.mkdtemp(prefix="gate_ivf_index_") + "/index"
+    path = _gate_tmpdir("gate_ivf_index_") + "/index"
     S.build_ivf_index(emb, path, cents)
     return S.ivf_topk_indexed(spark, path, cents, qv, k=10, n_probe=2)
 

@@ -97,7 +97,12 @@ class PipelineConfig:
     #: (scripts/ride_along_experiment.py, BASELINE.md).  None = auto: on for
     #: the shuffled fused path with a message field; off when
     #: input_clustered (shuffle #1 is already elided there) and on the
-    #: per-row path.  True/False force.
+    #: per-row path.  True/False force.  PRECONDITION: (conv[, stream],
+    #: turn) is unique in the input (the input_hint contract).  A replayed
+    #: duplicate row fans out the first-row rejoin and duplicates that
+    #: segment's record, where the ride-through min_by picked one
+    #: arbitrarily — ingest paths that can replay rows should dedupe
+    #: upstream (exact_dedup on the key) or set slim_stage=False.
     slim_stage: bool | None = None
     #: the input's partitions already hold WHOLE conversations (a
     #: conv_id-bucketed table read with bucketed scan forced, or an Iceberg
@@ -133,6 +138,25 @@ class PipelineConfig:
     @property
     def chunking_active(self) -> bool:
         return bool(self.chunk_size)
+
+    def scan_columns(self, columns, msg_field: str | None = None) -> list[str]:
+        """The columns the scan stage actually consumes: group keys, order,
+        the message field, and the event-time column when the gap flush is
+        active.  Single source of truth for slim_split and
+        detect_sink_counts (code-review r3: the two keep-lists had already
+        drifted on the ts-column guard).  A missing ts column is NOT added,
+        so segment() raises its curated error instead of a raw
+        AnalysisException from the select."""
+        keep = [self.conv_col, self.order_col]
+        if self.stream is not None:
+            keep.append(self.stream)
+        if msg_field is None:
+            msg_field = self.resolve_message_field(columns)
+        if msg_field is not None:
+            keep.append(msg_field)
+        if self.multiline_flush_interval is not None and self.ts_col in columns:
+            keep.append(self.ts_col)
+        return keep
 
     def group_keys(self) -> list[str]:
         keys = [self.conv_col]

@@ -38,8 +38,12 @@ def token_count(col: Column) -> Column:
 #: RE2, which the DuckDB oracle uses, has no lookahead): a token is a
 #: letter run, a digit run, or a punctuation run, each with an optional
 #: leading space.  Counts approximate subword-tokenizer token counts far
-#: better than whitespace splitting on code/punctuated text.
-BPE_TOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+#: better than whitespace splitting on code/punctuated text.  Whitespace is
+#: an EXPLICIT class, not \s: Java's \s includes \x0B (vertical tab) while
+#: RE2's does not, so \s here would silently diverge from the DuckDB oracle
+#: on \x0B (code-review r3 — same engine-mismatch class as the re.ASCII
+#: tokenizer fixes).
+BPE_TOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -84,10 +88,11 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized(col))
 
 
-def gram_hashes(col: Column, k: int = 7) -> Column:
-    """Positional k-gram rolling hashes of the normalized text (portable
-    60-bit hash per gram); texts shorter than k yield one whole-text hash."""
-    base = normalized(col)
+def gram_hashes_of_base(base: Column, k: int = 7) -> Column:
+    """Positional k-gram rolling hashes over an ALREADY-NORMALIZED text
+    column (portable 60-bit hash per gram); texts shorter than k yield one
+    whole-text hash.  ``base`` must be a materialized attribute — see
+    window_minima's note on interpreted-HOF re-evaluation."""
     n = F.length(base)
     return F.when(
         n >= k,
@@ -96,6 +101,15 @@ def gram_hashes(col: Column, k: int = 7) -> Column:
             lambda i: stable_hash64(base.substr(i + 1, F.lit(k))),
         ),
     ).otherwise(F.array(stable_hash64(base)))
+
+
+def gram_hashes(col: Column, k: int = 7) -> Column:
+    """gram_hashes_of_base over raw text.  Convenience form for one-off
+    expressions: the normalization regex re-evaluates once per gram inside
+    the interpreted lambda (O(len²) per document) — pipelines should
+    materialize ``normalized(col)`` first and call gram_hashes_of_base, as
+    winnow_fingerprints_df does."""
+    return gram_hashes_of_base(normalized(col), k)
 
 
 def window_minima(grams_col: Column, w: int = 5) -> Column:
@@ -125,8 +139,12 @@ def winnow_fingerprints_df(df, text_col: str = "text", id_col: str = "doc_id",
     primitive, vs ``fingerprint``'s exact-match md5.  Two projections so the
     gram array materializes as an attribute between them (see
     window_minima's note); entirely JVM expressions, shuffles nothing, exact
-    DuckDB mirror in plans/oracle_sql.winnow_fingerprints_sql."""
-    g = df.select(id_col, gram_hashes(F.col(text_col), k).alias("__grams"))
+    DuckDB mirror in plans/oracle_sql.winnow_fingerprints_sql.  THREE
+    projections: the normalized text materializes before the gram transform
+    (else the normalization regex re-runs per gram — code-review r3), and
+    the gram array materializes before the window transform."""
+    b = df.select(id_col, normalized(F.col(text_col)).alias("__base"))
+    g = b.select(id_col, gram_hashes_of_base(F.col("__base"), k).alias("__grams"))
     return g.select(
         id_col, F.explode(window_minima(F.col("__grams"), w)).alias("fp")
     )

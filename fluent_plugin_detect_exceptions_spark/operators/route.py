@@ -91,15 +91,7 @@ def detect_sink_counts(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     if not cfg.fuse_coalesce:
         raise ValueError("detect_sink_counts requires cfg.fuse_coalesce=True")
-    keep = [cfg.conv_col, cfg.order_col]
-    if cfg.stream is not None:
-        keep.append(cfg.stream)
-    msg_field = cfg.resolve_message_field(df.columns)
-    if msg_field is not None:
-        keep.append(msg_field)
-    if cfg.multiline_flush_interval is not None:
-        keep.append(cfg.ts_col)
-    return fused_sink_counts(segment(df.select(*keep), cfg))
+    return fused_sink_counts(segment(df.select(*cfg.scan_columns(df.columns)), cfg))
 
 
 def write_sinks(routed: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -362,7 +362,7 @@ TOKEN_STATS_SQL = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
 FROM documents"""
@@ -456,7 +456,10 @@ FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 
 
-def minhash_bands_sql(num_hashes: int = 8, band_size: int = 2, k: int = 5) -> str:
+def _bands_cte(num_hashes: int, band_size: int, k: int) -> str:
+    """Shared WITH-prefix (sh → sigs → bands) for every minhash-band mirror:
+    one construction so the banding scheme cannot drift between the
+    minhash_bands and oversized_buckets oracles (code-review r3)."""
     sigs = [
         f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
         for j in range(num_hashes)
@@ -474,7 +477,11 @@ def minhash_bands_sql(num_hashes: int = 8, band_size: int = 2, k: int = 5) -> st
     return f"""
 WITH sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
 sigs AS (SELECT doc_id, {', '.join(sigs)} FROM sh),
-bands AS ({union})
+bands AS ({union})"""
+
+
+def minhash_bands_sql(num_hashes: int = 8, band_size: int = 2, k: int = 5) -> str:
+    return f"""{_bands_cte(num_hashes, band_size, k)}
 SELECT band_id, band_key,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -486,24 +493,7 @@ def oversized_buckets_sql(max_bucket: int = 256, num_hashes: int = 8,
     """Mirror of operators.dedup.oversized_lsh_buckets: LSH band buckets
     holding more than ``max_bucket`` docs — the groups a capped
     jaccard_pairs skips (recall-loss visibility, ADVICE r2)."""
-    sigs = [
-        f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
-        for j in range(num_hashes)
-    ]
-    n_bands = num_hashes // band_size
-    band_selects = []
-    for b in range(n_bands):
-        key_parts = " || ',' || ".join(
-            f"CAST(s{b * band_size + i} AS VARCHAR)" for i in range(band_size)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, md5({key_parts}) AS band_key FROM sigs"
-        )
-    union = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents),
-sigs AS (SELECT doc_id, {', '.join(sigs)} FROM sh),
-bands AS ({union})
+    return f"""{_bands_cte(num_hashes, band_size, k)}
 SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS n_docs
 FROM bands GROUP BY band_id, band_key HAVING count(*) > {max_bucket}"""
 

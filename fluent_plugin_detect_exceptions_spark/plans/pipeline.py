@@ -34,13 +34,7 @@ def slim_split(df: DataFrame, cfg: PipelineConfig, msg_field: str | None):
         active = cfg.fuse_coalesce and not cfg.input_clustered and msg_field is not None
     if not active:
         return df, None
-    keep = [cfg.conv_col, cfg.order_col]
-    if cfg.stream is not None:
-        keep.append(cfg.stream)
-    if msg_field is not None:
-        keep.append(msg_field)
-    if cfg.multiline_flush_interval is not None and cfg.ts_col in df.columns:
-        keep.append(cfg.ts_col)
+    keep = cfg.scan_columns(df.columns, msg_field)
     ride_cols = [c for c in df.columns if c not in keep]
     if not ride_cols:
         return df, None

@@ -126,8 +126,14 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
         cls, g_tab, b_tab, _ = classify(texts, rules)
         rawlen = texts.str.len().fillna(0).to_numpy(np.int64)
         has_nl = texts.str.contains("\n", regex=False).fillna(False).to_numpy(bool)
+        # MICROSECOND event times (code-review r3): second-truncation made
+        # the gap predicate coarser than the batch path's microsecond compare
+        # (stream/batch divergence on fractional-second gaps) and could set
+        # an event-time timeout below the current watermark for sub-second
+        # intervals.  State carries last_ts in µs; outputs convert to epoch
+        # seconds at emit.
         tsv = (
-            pdf[cfg.ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64) // 1_000_000
+            pdf[cfg.ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
             if cfg.ts_col in pdf.columns
             else np.zeros(n, dtype=np.int64)
         )
@@ -136,7 +142,7 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
             prev_ts = np.empty(n, dtype=np.int64)
             prev_ts[0] = last_ts if last_ts is not None else tsv[0]
             prev_ts[1:] = tsv[:-1]
-            gap = (tsv - prev_ts) > cfg.multiline_flush_interval
+            gap = (tsv - prev_ts) > cfg.multiline_flush_interval * 1_000_000
 
         res = fsm.scan(
             cls, g_tab, b_tab, rawlen, has_nl, gap,
@@ -180,7 +186,8 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
                 seg_lang = int(lang_id)
             else:
                 f0 = int(idxs[0])
-                seg_first = (int(turns[f0]), roles[f0], tools[f0], int(tsv[f0]))
+                seg_first = (int(turns[f0]), roles[f0], tools[f0],
+                             int(tsv[f0]) // 1_000_000)
                 seg_msgs = ""
                 seg_cnt = 0
                 seg_lang = int(row_lang[f0])
@@ -204,7 +211,7 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
                     for i in idxs:
                         rows.append(
                             _mk_out(conv, int(turns[i]), roles[int(i)], tools[int(i)],
-                                    int(tsv[int(i)]), None, 1, -1)
+                                    int(tsv[int(i)]) // 1_000_000, None, 1, -1)
                         )
                 elif seg_cnt > 0:
                     rows.append(
@@ -235,8 +242,16 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
                 # with non-monotonic event times tsv[-1] could set a timestamp
                 # the watermark has already passed, flushing the pending trace
                 # early (ADVICE r2).  The gap predicate keeps using
-                # turn-order-previous ts (batch semantics).
-                state.setTimeoutTimestamp(int(tsv.max()) * 1000 + timeout_ms)
+                # turn-order-previous ts (batch semantics).  Clamped above
+                # the current watermark (code-review r3): with a short
+                # interval and another conversation driving the watermark
+                # ahead, the naive timestamp can land at/below it, which
+                # Spark rejects and kills the query — the clamp flushes at
+                # the very next batch instead (the trace is already idle
+                # past the interval, so that IS the correct flush time).
+                cand = int(tsv.max()) // 1000 + timeout_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(cand, wm + 1))
             else:
                 state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(rows, columns=OUTPUT_SCHEMA.names)

@@ -127,6 +127,57 @@ def test_streaming_within_single_batch_exact(spark, tmp_path):
         assert want[k] == v
 
 
+def test_event_time_timeout_subsecond_interval_behind_watermark(spark, tmp_path):
+    """Code-review r3 regression: with a SUB-SECOND flush interval and the
+    watermark already advanced by another conversation, the naive timeout
+    timestamp (second-truncated event time + interval) lands at/below the
+    watermark and Spark kills the query with IllegalArgumentException.  The
+    clamp must instead schedule the flush for the next batch and emit the
+    idle trace."""
+    import glob
+    import time as _t
+
+    base = 1_700_000_000
+    # f1: conv b far ahead drives the watermark; f2: conv a's open trace
+    # arrives with event times far BEHIND the watermark; f3 fires timeouts
+    f1 = [("b", 0, "u", "plain b\n", "t", float(base + 100))]
+    f2 = [("a", 0, "u", "java.lang.RuntimeException: boom\n", "t", base + 0.25),
+          ("a", 1, "u", "\tat com.example.Foo.bar(Foo.java:1)\n", "t", base + 0.5)]
+    f3 = [("c", 0, "u", "plain c\n", "t", float(base + 200))]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts double"
+    src = str(tmp_path / "src")
+    for i, rows in enumerate((f1, f2, f3)):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/part={i}")
+        now = _t.time() + i
+        for p in glob.glob(f"{src}/part={i}/*.parquet"):
+            os.utime(p, (now, now))
+
+    full_schema = spark.read.parquet(f"{src}/part=0").schema
+    stream = (
+        spark.readStream.schema(full_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    out = detect_exceptions_stream(
+        stream, PipelineConfig(multiline_flush_interval=0.4), event_time=True
+    )
+    q = (
+        out.writeStream.format("memory").queryName("subsec_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)  # would raise StreamingQueryException pre-fix
+    assert q.exception() is None
+    got = {(r["conv_id"], r["first_turn_idx"]): (r["n_lines"], r["sink"])
+           for r in spark.sql("select * from subsec_stream").collect()}
+    assert got[("a", 0)] == (2, "lang_java")  # idle trace flushed by timeout
+    assert got[("b", 0)] == (1, "passthrough")
+
+
 def test_event_window_stream_with_watermark_drops_late_data(spark, tmp_path):
     """Built-in streaming path (brief: 'watermarks + windowed aggs for late
     data'): tumbling 1h windows close as the watermark (30 min) passes their
