@@ -269,6 +269,14 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold_millis=100, max_bucket=256)
 
 
+def _q_jaccard_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # linear representative verification INSIDE oversized buckets (the
+    # routing alternative to dropping them): pairs (min-id rep, member)
+    return D.jaccard_rep_pairs(
+        _docs(spark, sf_dir), threshold_millis=100, max_bucket=16
+    )
+
+
 def _q_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall-loss visibility for a capped jaccard_pairs: buckets a
     # max_bucket=16 cap would skip (non-empty at sf0.01)
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "lsh_oversized_buckets": _q_lsh_oversized,
+        "jaccard_rep_pairs": _q_jaccard_rep_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_indexed_topk": _q_ann_indexed,
         "ivf_topk": _q_ivf_topk,
@@ -472,6 +481,9 @@ FROM events WHERE event_type = 'error'""",
         "dedup_exact": O.DEDUP_EXACT_SQL,
         "jaccard_pairs": O.jaccard_pairs_sql(threshold_millis=100, max_bucket=256),
         "lsh_oversized_buckets": O.oversized_buckets_sql(max_bucket=16),
+        "jaccard_rep_pairs": O.jaccard_rep_pairs_sql(
+            threshold_millis=100, max_bucket=16
+        ),
         "token_stats": O.TOKEN_STATS_SQL,
         "quality_stats": O.QUALITY_SQL,
         "lang_id": O.lang_id_doc_sql(),

@@ -286,6 +286,53 @@ def oversized_lsh_buckets(
     )
 
 
+def jaccard_rep_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_millis: int = 500,
+    k: int = DEFAULT_SHINGLE_K,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    **kw,
+) -> DataFrame:
+    """LINEAR verification for OVERSIZED LSH buckets (the ADVICE r2
+    alternative to dropping them): in every (band_id, band_key) bucket
+    larger than ``max_bucket``, verify each member against the bucket's
+    min-id REPRESENTATIVE only — O(bucket) pairs instead of O(bucket²).
+    Returns (id_a=representative, id_b=member, jaccard_millis).
+
+    Complement of ``jaccard_pairs(max_bucket=...)``: run both and union —
+    small buckets get exact all-pairs, poisoned buckets get
+    representative-linked near-dup clusters (transitively: members similar
+    to the same representative are duplicates of each other for dedup
+    purposes)."""
+    bands = minhash_bands(df, text_col, id_col, **kw)
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__rep")
+    ).filter(F.col("__bsz") > max_bucket)
+    pairs = (
+        bands.join(buckets, ["band_id", "band_key"])
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    docs = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), stable_hash64)
+        ).alias("sh"),
+    )
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.floor(1000.0 * inter / union).cast("long")
+    return joined.select("id_a", "id_b", jac.alias("jaccard_millis")).filter(
+        F.col("jaccard_millis") >= threshold_millis
+    )
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

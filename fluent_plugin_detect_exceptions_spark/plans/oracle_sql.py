@@ -498,6 +498,39 @@ SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS n_docs
 FROM bands GROUP BY band_id, band_key HAVING count(*) > {max_bucket}"""
 
 
+def jaccard_rep_pairs_sql(threshold_millis: int = 500, num_hashes: int = 8,
+                          band_size: int = 2, k: int = 5,
+                          max_bucket: int = 256) -> str:
+    """Mirror of operators.dedup.jaccard_rep_pairs: min-id representative vs
+    member inside oversized buckets, exact hashed-shingle Jaccard."""
+    jac = "CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT)"
+    return f"""{_bands_cte(num_hashes, band_size, k)},
+szd AS (
+  SELECT doc_id, band_id, band_key,
+         count(*) OVER (PARTITION BY band_id, band_key) AS n,
+         min(doc_id) OVER (PARTITION BY band_id, band_key) AS rep
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT rep AS id_a, doc_id AS id_b FROM szd
+  WHERE n > {max_bucket} AND doc_id <> rep
+),
+hsh AS (SELECT doc_id,
+               list_distinct(list_transform({_shingle_sql(k)},
+                                            s -> {_hash64_sql('s')})) AS hs
+        FROM documents),
+j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.hs, sb.hs)) AS inter,
+         len(sa.hs) AS na, len(sb.hs) AS nb
+  FROM cand c
+  JOIN hsh sa ON sa.doc_id = c.id_a
+  JOIN hsh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, {jac} AS jaccard_millis
+FROM j WHERE {jac} >= {threshold_millis}"""
+
+
 def simhash_buckets_sql(prefix_bits: int = 8) -> str:
     """Bit-identical mirror of operators.dedup.simhash_signatures_df /
     simhash_near_dups: 60-bit SimHash by per-bit ±1 vote over whitespace

@@ -138,3 +138,10 @@ def test_jaccard_bucket_cap_drops_degenerate_buckets(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(100, 101)}
     assert uncapped.count() > len(got)  # the degenerate bucket was the bulk
+    # routing alternative (ADVICE r2): representative verification recovers
+    # the capped bucket's members LINEARLY — every identical doc links to
+    # the min-id rep with jaccard 1.0
+    reps = D.jaccard_rep_pairs(df, threshold_millis=100, max_bucket=16)
+    rp = {(r["id_a"], r["id_b"]): r["jaccard_millis"] for r in reps.collect()}
+    assert set(rp) == {(0, i) for i in range(1, 40)}
+    assert all(v == 1000 for v in rp.values())

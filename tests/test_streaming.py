@@ -127,6 +127,35 @@ def test_streaming_within_single_batch_exact(spark, tmp_path):
         assert want[k] == v
 
 
+def test_fractional_second_gap_stream_equals_batch(spark, tmp_path):
+    """Code-review r3 regression: the streaming gap predicate compares
+    microseconds like the batch path — a 5.2 s gap with interval 5 must
+    split the trace in BOTH engines (second-truncated stream timestamps saw
+    only 5 and kept one record)."""
+    rows = [
+        ("c", 0, "u", "java.lang.RuntimeException: boom\n", "t", 1000.0),
+        ("c", 1, "u", "\tat com.example.A.a(A.java:1)\n", "t", 1002.0),
+        ("c", 2, "u", "\tat com.example.B.b(B.java:2)\n", "t", 1007.2),  # +5.2s
+        ("c", 3, "u", "a plain line\n", "t", 1008.0),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts double"
+    df = spark.createDataFrame(rows, schema).withColumn("ts", F.timestamp_seconds("ts"))
+    src = str(tmp_path / "one")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    cfg = PipelineConfig(multiline_flush_interval=5)
+    got_df = run_stream(spark, src, str(tmp_path / "ckpt"), cfg, df.schema)
+    got = sorted(
+        (r["first_turn_idx"], r["n_lines"], r["sink"]) for r in got_df.collect()
+    )
+    batch = sorted(
+        (r["first_turn_idx"], r["n_lines"], r["sink"])
+        for r in detect_exceptions(spark.read.parquet(src), cfg).collect()
+    )
+    # the gap splits the trace at turn 2 in both engines: [0-1], [2], [3]
+    assert got == batch, (got, batch)
+    assert len(got) == 3 and got[0] == (0, 2, "lang_java"), got
+
+
 def test_event_time_timeout_subsecond_interval_behind_watermark(spark, tmp_path):
     """Code-review r3 regression: with a SUB-SECOND flush interval and the
     watermark already advanced by another conversation, the naive timeout
