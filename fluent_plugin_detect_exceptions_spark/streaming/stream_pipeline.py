@@ -319,8 +319,14 @@ def make_state_metrics_listener():
         def onQueryTerminated(self, event):
             pass
 
-        def metrics(self) -> list[dict]:
-            return _state_rows_of(self.progress)
+        def metrics(self, query_id=None) -> list[dict]:
+            """State metrics; pass ``query_id=str(query.id)`` to restrict to
+            one query — the listener is SESSION-GLOBAL and receives every
+            query's progress events."""
+            dicts = self.progress
+            if query_id is not None:
+                dicts = [d for d in dicts if d.get("id") == str(query_id)]
+            return _state_rows_of(dicts)
 
     return StateMetricsListener()
 

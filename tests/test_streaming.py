@@ -401,16 +401,20 @@ def test_event_time_timeout_flush(spark, tmp_path):
     assert sum(m["rows_removed"] or 0 for m in sm) >= 1, sm
     assert any((m["state_bytes"] or 0) > 0 for m in sm), sm
 
-    # the listener variant captures every batch (async delivery: poll)
+    # the listener variant captures every batch of THIS query (the listener
+    # is session-global, so filter by query id; delivery is async: poll on
+    # the subset condition itself, not on counts that foreign queries'
+    # events can satisfy)
     import time as _time
 
+    want_batches = {m["batch"] for m in sm}
     try:
-        for _ in range(40):
-            if len(listener.metrics()) >= len(sm):
+        for _ in range(60):
+            lm = listener.metrics(query_id=q.id)
+            if want_batches <= {m["batch"] for m in lm}:
                 break
             _time.sleep(0.25)
-        lm = listener.metrics()
-        assert len(lm) >= len(sm), (len(lm), len(sm))
-        assert {m["batch"] for m in sm} <= {m["batch"] for m in lm}
+        lm = listener.metrics(query_id=q.id)
+        assert want_batches <= {m["batch"] for m in lm}, (want_batches, lm)
     finally:
         spark.streams.removeListener(listener)
