@@ -277,6 +277,15 @@ def _q_jaccard_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the step that turns pair-finding into dedup: anti-join the verified
+    # near-dup pairs (keep the min id of each pair) — composed with the
+    # LSH→Jaccard verifier
+    d = _docs(spark, sf_dir)
+    pairs = D.jaccard_pairs(d, threshold_millis=500, max_bucket=256)
+    return D.near_dedup(d, pairs).select("doc_id")
+
+
 def _q_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall-loss visibility for a capped jaccard_pairs: buckets a
     # max_bucket=16 cap would skip (non-empty at sf0.01)
@@ -387,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "lsh_oversized_buckets": _q_lsh_oversized,
         "jaccard_rep_pairs": _q_jaccard_rep_pairs,
+        "near_dedup": _q_near_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_indexed_topk": _q_ann_indexed,
         "ivf_topk": _q_ivf_topk,
@@ -484,6 +494,11 @@ FROM events WHERE event_type = 'error'""",
         "jaccard_rep_pairs": O.jaccard_rep_pairs_sql(
             threshold_millis=100, max_bucket=16
         ),
+        "near_dedup": f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT id_b FROM ({O.jaccard_pairs_sql(threshold_millis=500, max_bucket=256)})
+)""",
         "token_stats": O.TOKEN_STATS_SQL,
         "quality_stats": O.QUALITY_SQL,
         "lang_id": O.lang_id_doc_sql(),

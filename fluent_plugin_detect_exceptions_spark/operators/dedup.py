@@ -370,6 +370,19 @@ def winnow_dup_pairs(
     )
 
 
+def near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per near-duplicate group: drop every doc that
+    has a verified near-dup with a SMALLER id (``pairs`` carry id_a < id_b
+    from jaccard_pairs / embedding_dup_pairs / winnow_dup_pairs / the
+    rep-pairs form).  Exact for cliques; conservative for chains (a-b + b-c
+    without a-c keeps only a — over-drops c rather than keeping a
+    duplicate), which is the standard single-pass approximation of
+    connected-components dedup.  Plan shape: a distinct on the drop ids +
+    one LEFT ANTI join — both shuffle the narrow id column only."""
+    drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return df.join(drops, df[id_col] == drops["__drop"], "left_anti")
+
+
 def simhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
