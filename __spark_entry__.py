@@ -378,6 +378,72 @@ def _q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall-loss visibility for a capped winnow_dup_pairs: degenerate
+    # fingerprints (boilerplate substrings shared by >max_bucket docs) the
+    # cap skips — mirror of lsh_oversized_buckets for the fp family
+    return D.oversized_winnow_buckets(_docs(spark, sf_dir), max_bucket=100)
+
+
+def _q_winnow_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # linear recovery inside oversized fp buckets: member vs min-id
+    # representative, verified by the FULL shared-fingerprint count
+    return D.winnow_rep_pairs(_docs(spark, sf_dir), min_shared=3, max_bucket=100)
+
+
+def _q_near_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster-exact near-dedup labels: overlapping substring pieces of the
+    # first 40 docs form deliberate a-b-c similarity CHAINS (adjacent
+    # pieces overlap by half, distant ones don't); exact all-pairs shingle
+    # Jaccard builds the pair graph (the chain-rich FIXTURE — at scale
+    # pair-finding is the LSH/winnow paths), and connected_components
+    # (Hash-Min + pointer jumping) labels every node with its component
+    # min.  Oracle computes the same closure with a recursive CTE.
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    b = d.select("doc_id", T.normalized(F.col("text")).alias("base"))
+    pieces = (
+        b.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col("base").substr(1 + 120 * j, 240).alias("ptext"),
+                        )
+                        for j in range(3)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            (F.col("doc_id") * 3 + F.col("p.j")).alias("pid"),
+            F.col("p.ptext").alias("ptext"),
+        )
+        .filter(F.length("ptext") >= 40)
+    )
+    hs = pieces.select(
+        "pid",
+        F.array_distinct(
+            F.transform(D.shingles(F.col("ptext")), T.stable_hash64)
+        ).alias("hs"),
+    )
+    a = hs.select(F.col("pid").alias("id_a"), F.col("hs").alias("hs_a"))
+    bb = hs.select(F.col("pid").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    pairs = (
+        a.join(bb, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.floor(1000.0 * inter / union).cast("long").alias("jm"),
+        )
+        .filter(F.col("jm") >= 250)
+        .select("id_a", "id_b")
+    )
+    return D.connected_components(pairs)
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -414,6 +480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": lambda spark, sf_dir: D.winnow_dup_pairs(
             _docs(spark, sf_dir), min_shared=20
         ),
+        "winnow_dup_pairs_capped": lambda spark, sf_dir: D.winnow_dup_pairs(
+            _docs(spark, sf_dir), min_shared=20, max_bucket=100
+        ),
+        "winnow_oversized_buckets": _q_winnow_oversized,
+        "winnow_rep_pairs": _q_winnow_rep_pairs,
+        "near_dedup_cc": _q_near_dedup_cc,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -505,6 +577,12 @@ WHERE doc_id NOT IN (
         "fingerprint": O.FINGERPRINT_SQL,
         "winnow_fingerprints": O.winnow_fingerprints_sql(),
         "winnow_dup_pairs": O.winnow_dup_pairs_sql(min_shared=20),
+        "winnow_dup_pairs_capped": O.winnow_dup_pairs_sql(
+            min_shared=20, max_bucket=100
+        ),
+        "winnow_oversized_buckets": O.oversized_winnow_buckets_sql(max_bucket=100),
+        "winnow_rep_pairs": O.winnow_rep_pairs_sql(min_shared=3, max_bucket=100),
+        "near_dedup_cc": O.near_dedup_cc_sql(),
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),

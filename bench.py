@@ -161,9 +161,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     # best-of-N per query: this sandbox shows intermittent 2-4x whole-JVM
-    # co-tenant slowdowns (BASELINE.md methodology); N=2 halves the noise at
-    # ~2x bench wall time.  The JSON records every rep for auditability.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # co-tenant slowdowns, and the FIRST rep of a fresh JVM routinely runs
+    # 1.5-2x cold (BENCH_r03 recorded exactly that and mis-reported a
+    # regression).  Default N=4 so the recorded best reflects the warmed
+    # number; the JSON records every rep for auditability.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
     all_reps: dict[str, list[float]] = {}
 
     def timed(name: str, fn):

@@ -340,6 +340,7 @@ def winnow_dup_pairs(
     k: int = 7,
     w: int = 5,
     min_shared: int = 3,
+    max_bucket: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs by SHARED WINNOWING FINGERPRINTS: documents
     sharing ≥ ``min_shared`` sliding-window minima (each implies a common
@@ -348,12 +349,21 @@ def winnow_dup_pairs(
 
     Scale shape: the self-join runs per fingerprint bucket (never
     all-pairs); like every LSH-family bucket join, a fingerprint shared by
-    thousands of boilerplate docs goes quadratic — monitor with
-    ``oversized_lsh_buckets``-style counts on ``fp`` and cap or reroute
-    degenerate fingerprints upstream if the corpus has them."""
+    thousands of boilerplate docs goes quadratic.  ``max_bucket`` (OPT-IN,
+    default 0 = uncapped) drops fingerprints shared by more than that many
+    docs before the self-join, bounding the quadratic; note a dropped
+    DEGENERATE fp also lowers n_shared for pairs that additionally share
+    rare fps, so a cap can lose true pairs.  When capping, pair with
+    ``oversized_winnow_buckets`` (same parameters) to measure what was
+    skipped and ``winnow_rep_pairs`` to recover those buckets linearly —
+    the same triad as jaccard_pairs / oversized_lsh_buckets /
+    jaccard_rep_pairs."""
     from ..functions.text import winnow_fingerprints_df
 
     fps = winnow_fingerprints_df(df, text_col, id_col, k, w)
+    if max_bucket:
+        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__bsz"))
+        fps = fps.join(sizes, "fp").filter(F.col("__bsz") <= max_bucket).drop("__bsz")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -370,6 +380,78 @@ def winnow_dup_pairs(
     )
 
 
+def oversized_winnow_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 5,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(fp, n_docs) of winnowing fingerprints shared by MORE than
+    ``max_bucket`` documents — exactly the buckets a capped
+    ``winnow_dup_pairs`` skips.  Mirror of ``oversized_lsh_buckets`` for the
+    fp family: run it whenever capping so recall loss is measured, not
+    assumed, and feed the degenerate buckets to ``winnow_rep_pairs``."""
+    from ..functions.text import winnow_fingerprints_df
+
+    fps = winnow_fingerprints_df(df, text_col, id_col, k, w)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def winnow_rep_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 5,
+    min_shared: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """LINEAR recovery for OVERSIZED winnowing-fp buckets (mirror of
+    ``jaccard_rep_pairs``): in every fp bucket larger than ``max_bucket``,
+    pair each member with the bucket's min-id REPRESENTATIVE only —
+    O(bucket) candidate pairs instead of O(bucket²) — then verify each pair
+    by its FULL shared-fingerprint count (all fps, not just the degenerate
+    one), keeping pairs with ≥ ``min_shared``.  Returns
+    (id_a=representative, id_b=member, n_shared).
+
+    Plan shape: candidate pairs come from one groupBy on the oversized fps
+    plus a distinct on (rep, member); verification joins the pair list to
+    the fp table twice — first on id_a (fanning each pair out to the
+    representative's fingerprints), then on (id_b, fp) to keep shared ones —
+    so the work is linear in members × |fps(rep)|, never quadratic in the
+    bucket.  Complement of ``winnow_dup_pairs(max_bucket=...)``: union the
+    two for full coverage under a cap."""
+    from ..functions.text import winnow_fingerprints_df
+
+    fps = winnow_fingerprints_df(df, text_col, id_col, k, w)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__rep"))
+        .filter(F.col("__bsz") > max_bucket)
+    )
+    pairs = (
+        fps.join(buckets, "fp")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), "fp")
+    fb = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, ["id_b", "fp"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep one representative per near-duplicate group: drop every doc that
     has a verified near-dup with a SMALLER id (``pairs`` carry id_a < id_b
@@ -380,6 +462,84 @@ def near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataF
     connected-components dedup.  Plan shape: a distinct on the drop ids +
     one LEFT ANTI join — both shuffle the narrow id column only."""
     drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return df.join(drops, df[id_col] == drops["__drop"], "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, comp) for every node appearing in ``pairs``; ``comp`` is the
+    MINIMUM id in the node's connected component — the cluster-exact
+    grouping of verified near-dup pairs (vs ``near_dedup``'s single-pass
+    approximation, which over-drops chains).
+
+    Algorithm: Hash-Min label propagation with pointer jumping (the
+    standard Spark CC without GraphFrames — cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").  Each round
+    (1) every node takes the min of its own and its neighbors' labels,
+    (2) every node then jumps to its label's label, halving chain lengths —
+    so convergence is O(log diameter) rounds, not O(diameter).  Each round
+    shuffles only narrow (id, label) bigint pairs; the per-round
+    ``localCheckpoint`` truncates lineage (iterative plans otherwise grow
+    exponentially) and materializes the frame the convergence count reads.
+    The convergence check is one count action per round — driver-safe (a
+    scalar, not a collect of data).  At 100 TB scale the same loop holds:
+    labels are |V| rows of two bigints, every join is on the id key, and
+    rounds are logarithmic in the largest component's diameter."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(nbr, "u", "left").select(
+            "u", F.least("label", "nlabel").alias("label")
+        )
+        jump = stepped.select(
+            F.col("u").alias("ju"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["label"] == jump["ju"], "left")
+            .select("u", F.least("label", "jlabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "u"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("comp"))
+
+
+def near_dedup_cc(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster-exact near-dedup: keep exactly ONE doc (the min id) per
+    CONNECTED COMPONENT of the verified near-dup graph — the transitive
+    semantics a production dedup wants.  Fixes ``near_dedup``'s chain
+    behavior in both directions: for pairs (1,3)+(2,3) the single-pass
+    form keeps BOTH 1 and 2 (under-drop: 1 and 2 are transitive near-dups
+    linked through 3 but never appear as an id_b), and its drop of c in an
+    a-b + b-c chain is accidental rather than principled; here every
+    component keeps its min id exactly.  Cost: the iterative CC rounds
+    (logarithmic, narrow shuffles) instead of one distinct — keep
+    ``near_dedup`` as the cheap default when pairs are known to be
+    clique-shaped (e.g. rep-pairs)."""
+    comps = connected_components(pairs)
+    drops = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("__drop")
+    )
     return df.join(drops, df[id_col] == drops["__drop"], "left_anti")
 
 

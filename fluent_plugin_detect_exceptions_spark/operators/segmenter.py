@@ -180,7 +180,7 @@ def _scan_core(pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules,
 
     tv = texts.iloc[idx]
     rawlen = tv.str.len().fillna(0).to_numpy(dtype=np.int64)
-    has_nl = tv.str.contains("\n", regex=False).fillna(False).to_numpy(dtype=bool)
+    has_nl = (tv.str.contains("\n", regex=False) == True).to_numpy(dtype=bool)  # noqa: E712 — null-safe without object-downcast fillna (pandas FutureWarning)
     gap = np.zeros(m, dtype=bool)
     if cfg.multiline_flush_interval is not None and m > 1:
         tsg = pdf[cfg.ts_col].iloc[idx].to_numpy(dtype="datetime64[us]").astype(np.int64)

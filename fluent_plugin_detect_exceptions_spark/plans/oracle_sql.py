@@ -444,16 +444,117 @@ wmin AS (
 SELECT doc_id, unnest(fps) AS fp FROM wmin"""
 
 
-def winnow_dup_pairs_sql(k: int = 7, w: int = 5, min_shared: int = 3) -> str:
+def winnow_dup_pairs_sql(k: int = 7, w: int = 5, min_shared: int = 3,
+                         max_bucket: int = 0) -> str:
     """Mirror of operators.dedup.winnow_dup_pairs: count distinct shared
-    winnowing fingerprints per id pair."""
+    winnowing fingerprints per id pair; ``max_bucket`` > 0 mirrors the
+    opt-in degenerate-fp cap (fps shared by more docs are dropped before
+    the self-join)."""
     fps = winnow_fingerprints_sql(k, w)
+    cap = ""
+    if max_bucket:
+        cap = f""",
+fps AS (
+  SELECT f.* FROM fps0 f
+  JOIN (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= {max_bucket}) s
+    USING (fp)
+)"""
+    first = "fps0" if max_bucket else "fps"
     return f"""
-WITH fps AS ({fps})
+WITH {first} AS ({fps}){cap}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+def oversized_winnow_buckets_sql(k: int = 7, w: int = 5,
+                                 max_bucket: int = 256) -> str:
+    """Mirror of operators.dedup.oversized_winnow_buckets: fingerprints
+    shared by more than ``max_bucket`` docs (the buckets a capped
+    winnow_dup_pairs skips)."""
+    return f"""
+WITH fps AS ({winnow_fingerprints_sql(k, w)})
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+FROM fps GROUP BY fp HAVING count(*) > {max_bucket}"""
+
+
+def winnow_rep_pairs_sql(k: int = 7, w: int = 5, min_shared: int = 3,
+                         max_bucket: int = 256) -> str:
+    """Mirror of operators.dedup.winnow_rep_pairs: min-id representative vs
+    member inside oversized fp buckets, verified by the FULL shared-fp
+    count."""
+    return f"""
+WITH fps AS ({winnow_fingerprints_sql(k, w)}),
+szd AS (
+  SELECT doc_id, fp,
+         count(*) OVER (PARTITION BY fp) AS n,
+         min(doc_id) OVER (PARTITION BY fp) AS rep
+  FROM fps
+),
+cand AS (
+  SELECT DISTINCT rep AS id_a, doc_id AS id_b FROM szd
+  WHERE n > {max_bucket} AND doc_id <> rep
+)
+SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM cand c
+JOIN fps a ON a.doc_id = c.id_a
+JOIN fps b ON b.doc_id = c.id_b AND b.fp = a.fp
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+def near_dedup_cc_sql(n_docs: int = 40, piece_len: int = 240,
+                      stride: int = 120, n_pieces: int = 3,
+                      min_len: int = 40, shingle_k: int = 5,
+                      threshold_millis: int = 250) -> str:
+    """Mirror of the near_dedup_cc gate query: overlapping substring pieces
+    of the first ``n_docs`` documents form deterministic a-b-c similarity
+    CHAINS (adjacent pieces overlap, distant ones don't); pairs are exact
+    all-pairs hashed-shingle Jaccard over the pieces; components are the
+    TRANSITIVE CLOSURE, computed here with a recursive reachability CTE and
+    in Spark with the Hash-Min + pointer-jumping loop
+    (operators.dedup.connected_components)."""
+    piece = f"substr(base, 1 + {stride} * j, {piece_len})"
+    vals = ", ".join(f"({j})" for j in range(n_pieces))
+    return f"""
+WITH RECURSIVE
+b AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS base
+  FROM documents WHERE doc_id < {n_docs}
+),
+pieces AS (
+  SELECT doc_id * {n_pieces} + j AS pid, {piece} AS text
+  FROM b CROSS JOIN (VALUES {vals}) t(j)
+  WHERE length({piece}) >= {min_len}
+),
+hsh AS (
+  SELECT pid,
+         list_distinct(list_transform({_shingle_sql(shingle_k)},
+                                      s -> {_hash64_sql('s')})) AS hs
+  FROM pieces
+),
+cand AS (
+  SELECT a.pid AS id_a, b.pid AS id_b,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM hsh a JOIN hsh b ON a.pid < b.pid
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT)
+        >= {threshold_millis}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u"""
 
 
 def _bands_cte(num_hashes: int, band_size: int, k: int) -> str:

@@ -145,3 +145,60 @@ def test_jaccard_bucket_cap_drops_degenerate_buckets(spark):
     rp = {(r["id_a"], r["id_b"]): r["jaccard_millis"] for r in reps.collect()}
     assert set(rp) == {(0, i) for i in range(1, 40)}
     assert all(v == 1000 for v in rp.values())
+
+
+def test_winnow_cap_and_rep_recovery(spark):
+    """The winnow mirror of the LSH triad (VERDICT r3 item 2): a degenerate
+    fingerprint shared by many boilerplate docs is (a) dropped by the
+    opt-in cap, (b) surfaced by oversized_winnow_buckets, and (c) recovered
+    linearly by winnow_rep_pairs."""
+    boiler = "this exact boilerplate passage repeats verbatim in many docs"
+    rows = [(i, f"{boiler}") for i in range(30)]
+    rows += [(100, "completely unrelated first document body here"),
+             (101, "completely unrelated first document body there")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.winnow_dup_pairs(df, min_shared=3)
+    capped = D.winnow_dup_pairs(df, min_shared=3, max_bucket=16)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # the boilerplate clique is fully capped away
+    assert uncapped.count() > 30 * 29 // 2 - 1  # and it was the bulk
+    over = {r["fp"]: r["n_docs"] for r in
+            D.oversized_winnow_buckets(df, max_bucket=16).collect()}
+    assert over and all(n == 30 for n in over.values())
+    reps = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+            D.winnow_rep_pairs(df, min_shared=3, max_bucket=16).collect()}
+    assert set(reps) == {(0, i) for i in range(1, 30)}
+
+
+def test_connected_components_chain_and_underdrop(spark):
+    """Deliberate a-b-c chain: CC labels the whole chain with its min id,
+    and near_dedup_cc keeps exactly one doc per component — including the
+    (1,3)+(2,3) shape where the single-pass near_dedup under-drops (keeps
+    both 1 and 2, which are transitive near-dups linked through 3)."""
+    pairs = spark.createDataFrame(
+        # component A: chain 10-11, 11-12 (no 10-12 edge)
+        # component B: the under-drop shape (1,3), (2,3)
+        [(10, 11), (11, 12), (1, 3), (2, 3)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert comps == {10: 10, 11: 10, 12: 10, 1: 1, 2: 1, 3: 1}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 12, 99)],
+        "doc_id long, text string",
+    )
+    kept_cc = {r["doc_id"] for r in D.near_dedup_cc(docs, pairs).collect()}
+    assert kept_cc == {1, 10, 99}  # one per component + untouched doc
+    kept_sp = {r["doc_id"] for r in D.near_dedup(docs, pairs).collect()}
+    assert kept_sp == {1, 2, 10, 99}  # single-pass keeps the duplicate 2
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """Pointer jumping makes rounds logarithmic: a 64-node path collapses
+    to one component well inside the iteration cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    comps = D.connected_components(pairs, max_iter=12)
+    assert {r["comp"] for r in comps.collect()} == {0}
+    assert comps.count() == 64
