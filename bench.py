@@ -192,10 +192,18 @@ def main() -> None:
         assume_long_convs=True, assume_dense_turns=True,
     )
     def run_pipeline():
-        # single action: the per-sink aggregate IS the headline output; the
-        # routed row count falls out of it (no persist — caching the full
-        # routed text through the memory store costs more than it saves)
-        _, counts = detect_with_counts(transcripts, cfg)
+        # single action over the FULL routed plan (detect_with_counts now
+        # routes its counts leg through the 2-exchange fast path, which
+        # sink_counts_fast times separately — the headline must keep timing
+        # the whole pipeline incl. coalesce + rejoin, so counts derive from
+        # the routed records directly; no persist — caching the full routed
+        # text through the memory store costs more than it saves)
+        from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
+        from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
+            detect_exceptions,
+        )
+
+        counts = sink_counts(detect_exceptions(transcripts, cfg))
         cmap = {r["sink"]: r["n"] for r in counts.collect()}
         return sum(cmap.values()), cmap
     (n_routed, counts_map) = timed("exception_pipeline", run_pipeline)
@@ -219,7 +227,12 @@ def main() -> None:
     )
 
     def run_pipeline_bucketed():
-        _, counts = detect_with_counts(bucketed, cfg_b)
+        from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
+        from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
+            detect_exceptions,
+        )
+
+        counts = sink_counts(detect_exceptions(bucketed, cfg_b))
         cmap = {r["sink"]: r["n"] for r in counts.collect()}
         return sum(cmap.values()), cmap
 

@@ -38,16 +38,53 @@ def config_fingerprint(cfg, n_buckets: int) -> str:
     return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _file_stats(df, files: list[str]) -> list[list]:
+    """(uri, length, mtime) per input file via the Hadoop FileSystem —
+    one ``listStatus`` per parent DIRECTORY (not per file: a py4j
+    round-trip per file would hurt on wide tables), keyed by file name
+    inside the listing so URI normalization differences between
+    ``df.inputFiles()`` and ``Path.toString()`` can't cause misses.  Any
+    filesystem error degrades that entry to (0, 0) — same protection level
+    as the old name-only digest for that file, never a crash."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    by_parent: dict[str, list[tuple[str, str]]] = {}
+    for f in files:
+        parent, _, name = f.rpartition("/")
+        by_parent.setdefault(parent, []).append((f, name))
+    out = {}
+    for parent, entries in by_parent.items():
+        listing: dict[str, tuple[int, int]] = {}
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = p.getFileSystem(hconf)
+            for st in fs.listStatus(p):
+                listing[st.getPath().getName()] = (
+                    int(st.getLen()), int(st.getModificationTime())
+                )
+        except Exception:
+            pass
+        for f, name in entries:
+            ln, mt = listing.get(name, (0, 0))
+            out[f] = [f, ln, mt]
+    return [out[f] for f in files]
+
+
 def prepass_fingerprint(config_fp: str, input_path: str, df) -> str:
     """Digest binding a persisted pre-pass result (max-turn gate + fallback
     list) to the (config, input snapshot) it was computed over: the config
-    fingerprint plus the sorted input file list.  Caveat: this captures the
-    file SET, not file contents — an in-place overwrite of a same-named file
-    defeats it; append-only / immutable-file layouts (parquet ingest,
-    Iceberg snapshots) satisfy the assumption, and a changed file list
-    invalidates the entry so the pre-pass re-runs."""
+    fingerprint plus the sorted input file list WITH per-file size and
+    modification time (ADVICE r3 — the name-only form silently replayed a
+    stale fallback list after an in-place overwrite of a same-named file;
+    size+mtime make same-name content changes invalidate the entry, so the
+    pre-pass re-runs instead of misreading)."""
     files = sorted(df.inputFiles())
-    payload = {"config": config_fp, "input": input_path, "files": files}
+    payload = {
+        "config": config_fp,
+        "input": input_path,
+        "files": _file_stats(df, files),
+    }
     return hashlib.md5(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 

@@ -104,6 +104,14 @@ class PipelineConfig:
     #: arbitrarily — ingest paths that can replay rows should dedupe
     #: upstream (exact_dedup on the key) or set slim_stage=False.
     slim_stage: bool | None = None
+    #: debug guard for the slim_stage uniqueness precondition (ADVICE r3):
+    #: when True, detect_exceptions runs ONE extra exact check job over the
+    #: ride table's join key (conv[, stream], first_turn_idx = turn) and
+    #: raises on any duplicate instead of silently fanning out the rejoin.
+    #: Costs a narrow groupBy job at plan-construction time — turn it on
+    #: when the ingest path can replay rows (at-least-once delivery) or
+    #: while qualifying a new source, off in steady state.
+    slim_check_unique: bool = False
     #: the input's partitions already hold WHOLE conversations (a
     #: conv_id-bucketed table read with bucketed scan forced, or an Iceberg
     #: bucket(N, conv_id) table via storage-partitioned read): skip the

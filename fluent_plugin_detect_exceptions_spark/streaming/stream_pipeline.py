@@ -49,9 +49,18 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: State-format version (ADVICE r3): v2 switched ``last_ts`` from epoch
+#: SECONDS to MICROSECONDS.  The explicit ``ver`` field makes checkpoints
+#: written by a different format fail LOUDLY — adding the field changed the
+#: state schema, so Spark's checkpoint state-schema check rejects a pre-v2
+#: resume outright; any future unit/semantics change bumps this constant and
+#: the guard below discards (not misreads) stale state.
+STATE_VERSION = 2
+
 #: state: FSM carry + open-segment accumulator
 STATE_SCHEMA = StructType(
     [
+        StructField("ver", IntegerType(), False),
         StructField("fsm_state", IntegerType(), False),
         StructField("open", BooleanType(), False),
         StructField("cnt", LongType(), False),
@@ -67,7 +76,10 @@ STATE_SCHEMA = StructType(
     ]
 )
 
-_EMPTY_STATE = (0, False, 0, 0, int(fsm.NO_TRACE), None, None, None, None, None, -1, None)
+_EMPTY_STATE = (
+    STATE_VERSION, 0, False, 0, 0, int(fsm.NO_TRACE),
+    None, None, None, None, None, -1, None,
+)
 
 
 def _lang_of(lang_id: int) -> str | None:
@@ -103,8 +115,8 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
         rows = []
 
         if state.hasTimedOut:
-            (fsm_state, opened, cnt, nbytes, prev_status, ft, fr_, fo, fts, msgs,
-             lang_id, _last) = state.get
+            (_ver, fsm_state, opened, cnt, nbytes, prev_status, ft, fr_, fo, fts,
+             msgs, lang_id, _last) = state.get
             if opened and cnt > 0:
                 rows.append(_mk_out(conv, ft, fr_, fo, fts, msgs, cnt, lang_id))
             state.remove()
@@ -112,8 +124,14 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
             return
 
         st = state.get if state.exists else _EMPTY_STATE
-        (fsm_state, opened, cnt, nbytes, prev_status, ft, fr_, fo, fts, msgs,
-         lang_id, last_ts) = st
+        if st[0] != STATE_VERSION:
+            # stale-format state (schema-compatible but semantically older):
+            # discard rather than misread — the carried trace re-opens from
+            # scratch, which loses at most one in-flight segment vs silently
+            # emitting a corrupted one
+            st = _EMPTY_STATE
+        (_ver, fsm_state, opened, cnt, nbytes, prev_status, ft, fr_, fo, fts,
+         msgs, lang_id, last_ts) = st
         carry = fsm.ScanCarry(
             state=fsm_state, open=bool(opened), count=int(cnt),
             bytes=int(nbytes), prev_status=int(prev_status),
@@ -125,7 +143,7 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
         texts = pdf[cfg.message] if cfg.message in pdf.columns else pd.Series([None] * n)
         cls, g_tab, b_tab, _ = classify(texts, rules)
         rawlen = texts.str.len().fillna(0).to_numpy(np.int64)
-        has_nl = texts.str.contains("\n", regex=False).fillna(False).to_numpy(bool)
+        has_nl = (texts.str.contains("\n", regex=False) == True).to_numpy(bool)  # noqa: E712 — null-safe without object-downcast fillna (pandas FutureWarning)
         # MICROSECOND event times (code-review r3): second-truncation made
         # the gap predicate coarser than the batch path's microsecond compare
         # (stream/batch divergence on fractional-second gaps) and could set
@@ -221,16 +239,18 @@ def make_state_func(cfg: PipelineConfig, rules: CompiledRules | None = None,
             else:
                 state.update(
                     (
-                        int(res.carry.state), True, seg_cnt, int(res.carry.bytes),
-                        int(res.carry.prev_status), seg_first[0], seg_first[1],
-                        seg_first[2], seg_first[3], seg_msgs, seg_lang, int(tsv[-1]),
+                        STATE_VERSION, int(res.carry.state), True, seg_cnt,
+                        int(res.carry.bytes), int(res.carry.prev_status),
+                        seg_first[0], seg_first[1], seg_first[2], seg_first[3],
+                        seg_msgs, seg_lang, int(tsv[-1]),
                     )
                 )
 
         if not res.carry.open:
             state.update(
                 (
-                    int(res.carry.state), False, 0, 0, int(res.carry.prev_status),
+                    STATE_VERSION, int(res.carry.state), False, 0, 0,
+                    int(res.carry.prev_status),
                     None, None, None, None, None, -1, int(tsv[-1]),
                 )
             )

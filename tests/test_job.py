@@ -167,3 +167,40 @@ def test_job_with_stream_and_limits(spark, tmp_path, monkeypatch):
     assert got == want and len(got) > 0
     metrics = spark.read.parquet(f"{out}/metrics")
     assert metrics.count() == 2  # one row per bucket
+
+def test_prepass_fingerprint_tracks_content_not_just_names(spark, tmp_path):
+    """ADVICE r3: an in-place overwrite that keeps the same file NAMES must
+    still invalidate the pre-pass fingerprint (size/mtime are part of the
+    digest), so a stale fallback list cannot be silently replayed."""
+    import os
+    import time
+
+    from fluent_plugin_detect_exceptions_spark.checkpoint import (
+        prepass_fingerprint,
+    )
+
+    src = str(tmp_path / "fp.parquet")
+    synth_transcripts(spark, 4, repeats=1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    df = spark.read.parquet(src)
+    fp1 = prepass_fingerprint("cfg", src, df)
+    assert fp1 == prepass_fingerprint("cfg", src, spark.read.parquet(src))
+
+    # overwrite every data file in place with identical names
+    names = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    tmp2 = str(tmp_path / "fp2.parquet")
+    synth_transcripts(spark, 5, repeats=1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp2)
+    names2 = sorted(f for f in os.listdir(tmp2) if f.endswith(".parquet"))
+    time.sleep(0.01)
+    for old, new in zip(names, names2):
+        os.replace(os.path.join(tmp2, new), os.path.join(src, old))
+    for crc in os.listdir(src):  # stale RawLocalFS checksum sidecars
+        if crc.endswith(".crc"):
+            os.remove(os.path.join(src, crc))
+    fp2 = prepass_fingerprint("cfg", src, spark.read.parquet(src))
+    assert fp2 != fp1

@@ -428,31 +428,58 @@ def test_fused_sink_counts_matches_full_path(spark):
         assert fast == full, (kw, fast, full)
 
 
-def test_fused_sink_counts_plan_has_two_exchanges(spark):
-    """VERDICT r2 item 5: the counts-only plan runs with 2 exchanges total —
-    the scan-stage repartition and one tiny map-side-combined count exchange;
-    the segment-stitching exchange on (conv, seg_start_turn) is gone."""
+def _simple_plan(plan_df) -> str:
     import io
     from contextlib import redirect_stdout
 
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_fused_sink_counts_plan_elides_stitch_exchange(spark):
+    """VERDICT r2 item 5 / ADVICE r3: the counts-only plan must NOT contain
+    the segment-stitching exchange — no hash partitioning on seg_start_turn
+    and no SortMergeJoin/rejoin machinery.  Asserting the specific ABSENT
+    exchange (not an exact total-exchange count) so AQE re-planning or
+    explain-rendering changes across Spark versions can't flake the test."""
     from fluent_plugin_detect_exceptions_spark.operators.route import (
         detect_sink_counts,
     )
 
     df = synth_transcripts(spark, 10, 1)
-    plan_df = detect_sink_counts(df, PipelineConfig())
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        plan_df.explain("formatted")
-    tree = buf.getvalue().split("\n\n")[0]
-    # shuffle exchanges only — the synth input builds with a broadcast join,
-    # whose BroadcastExchange moves no shuffle data
-    n_ex = sum(
-        1
-        for ln in tree.splitlines()
-        if "Exchange (" in ln and "BroadcastExchange" not in ln
-    )
-    assert n_ex == 2, tree
+    plan = _simple_plan(detect_sink_counts(df, PipelineConfig()))
+    stitch = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "seg_start_turn" in ln
+    ]
+    assert not stitch, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_detect_with_counts_counts_leg_is_fast_path(spark):
+    """VERDICT r3 item 6: detect_with_counts' counts leg uses the fused
+    fast path even when slim_stage is on — no seg_start_turn exchange, no
+    ride-table rejoin — while the routed leg still carries the full plan,
+    and the two legs agree."""
+    from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
+
+    df = synth_transcripts(spark, 12, 1)
+    cfg = PipelineConfig(slim_stage=True)
+    routed, counts = detect_with_counts(df, cfg)
+    cplan = _simple_plan(counts)
+    stitch = [
+        ln
+        for ln in cplan.splitlines()
+        if "Exchange hashpartitioning" in ln and "seg_start_turn" in ln
+    ]
+    assert not stitch, cplan
+    assert "first_turn_idx" not in cplan, cplan  # no slim rejoin on counts
+    fast = {r["sink"]: r["n"] for r in counts.collect()}
+    full = {r["sink"]: r["n"] for r in sink_counts(routed).collect()}
+    assert fast == full
 
 
 def test_window_segment_ids_equal_seg_start_turn(spark):
@@ -595,3 +622,15 @@ def test_sparse_turn_idx(spark):
         texts = [g[5] for g in got]
         assert fx.JAVA_EXC in texts
         assert len(got) == 1 + len(fx.lines(fx.ARBITRARY_TEXT))
+
+def test_slim_check_unique_guard(spark):
+    """ADVICE r3: opt-in exact duplicate-key guard for the slim rejoin —
+    a replayed duplicate (conv, turn) row raises instead of silently
+    fanning out the first-row join; clean input passes."""
+    df = synth_transcripts(spark, 5, 1)
+    cfg = PipelineConfig(slim_stage=True, slim_check_unique=True)
+    detect_exceptions(df, cfg)  # unique input: constructs fine
+
+    dup = df.unionByName(df.limit(1))
+    with pytest.raises(ValueError, match="uniqueness precondition"):
+        detect_exceptions(dup, cfg)
