@@ -92,17 +92,147 @@ def _py_shingles(text: str, k: int) -> set:
     return {base}
 
 
+def _md5_family_hashes(strings, num_hashes: int):
+    """(num_hashes, len(strings)) uint64 matrix of the portable md5 scheme
+    ``md5(b"j:" + s)`` (top 60 bits) — one md5 call per (family, distinct
+    string); the irreducible cost of the oracle-portable hash."""
+    import hashlib
+
+    import numpy as np
+
+    hv = np.empty((num_hashes, max(len(strings), 1)), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        sb = s.encode()
+        for j in range(num_hashes):
+            d = hashlib.md5(b"%d:%s" % (j, sb)).digest()
+            hv[j, i] = int.from_bytes(d[:8], "big") >> 4
+    return hv
+
+
+def _normalized_series(texts, ws_re):
+    """Vectorized mirror of _py_shingles' normalization: lower, collapse
+    ASCII whitespace runs, strip; None → ''."""
+    return texts.fillna("").str.lower().str.replace(ws_re, " ", regex=True).str.strip()
+
+
+def _minhash_batch_vectorized(pdf, text_col, id_col, num_hashes, k,
+                              max_slab_windows: int = 4 << 20):
+    """One batch of minhash signatures with NO per-document Python loop in
+    the hot path (VERDICT r3 item 4 — the segmenter's recipe applied here):
+
+    * normalization is one vectorized pandas str pipeline;
+    * every document decodes to a uint32 codepoint array (one C call per
+      doc), all docs concatenate into ONE buffer, and every k-shingle of
+      every document is a row of ``sliding_window_view`` over it — windows
+      that would cross a document boundary are masked out arithmetically;
+    * distinct shingles come from ``np.unique`` on a void view of the
+      window matrix (signature minima are unaffected by duplicates, so no
+      per-doc distinct is needed at all);
+    * md5 runs once per (family, DISTINCT shingle) — identical scheme and
+      call count to the interned pandas form;
+    * per-document minima are one ``np.minimum.reduceat`` over the
+      doc-ordered window values — replacing the former per-doc gather loop.
+
+    Documents shorter than k degrade to a whole-text shingle (handled on
+    the short-doc side path, matching _py_shingles)."""
+    import numpy as np
+    import pandas as pd
+
+    global _WS_RE
+    if _WS_RE is None:
+        import re as _re
+
+        _WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+    texts = pdf[text_col]
+    n = len(pdf)
+    mins = np.empty((n, num_hashes), dtype=np.uint64)
+    if n:
+        base = _normalized_series(texts, _WS_RE)
+        arrs = [
+            np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in base
+        ]
+        lens = np.fromiter((a.size for a in arrs), np.int64, count=n)
+        long_mask = lens >= k
+        # --- long docs: flat buffer + boundary-masked sliding windows, in
+        # SLABS of ≤ ~4M windows so peak memory stays bounded regardless of
+        # Arrow batch size (the window matrix and the per-window value
+        # gather are the two W-sized intermediates).  Slabs split at doc
+        # boundaries (a single doc larger than the slab cap forms its own
+        # slab); distinct-shingle interning is per slab — cross-slab
+        # duplicate shingles pay a repeat md5, which only matters on
+        # multi-slab batches and is bounded by the pandas form's per-batch
+        # cost anyway.
+        MAX_WIN = max_slab_windows
+        if long_mask.any():
+            lidx = np.flatnonzero(long_mask)
+            llens = lens[lidx]
+            start = 0
+            while start < lidx.size:
+                end = start + 1
+                wsum = int(llens[start]) - k + 1
+                while (
+                    end < lidx.size
+                    and wsum + int(llens[end]) - k + 1 <= MAX_WIN
+                ):
+                    wsum += int(llens[end]) - k + 1
+                    end += 1
+                sl = lidx[start:end]
+                slens = llens[start:end]
+                big = np.concatenate([arrs[i] for i in sl])
+                offs = np.concatenate(([0], np.cumsum(slens)))
+                pos = np.arange(big.size - k + 1, dtype=np.int64)
+                doc_of = np.repeat(np.arange(sl.size), slens)[: pos.size]
+                valid = (pos - offs[doc_of]) <= (slens[doc_of] - k)
+                win = np.ascontiguousarray(
+                    np.lib.stride_tricks.sliding_window_view(big, k)[valid]
+                )
+                doc_ids = doc_of[valid]
+                # distinct shingles via a HASH TABLE (pd.factorize on the
+                # void row view — measured 3.5x faster than sort-based
+                # np.unique on this workload), then per-(doc, shingle)
+                # dedupe through one int64 sort so the family gather runs
+                # over distinct pairs, not raw windows
+                wv = win.view(np.dtype((np.void, win.dtype.itemsize * k)))[:, 0]
+                inv, uniq = pd.factorize(wv)
+                shingles = [bytes(u).decode("utf-32-le") for u in uniq]
+                hv = _md5_family_hashes(shingles, num_hashes)
+                V = max(len(uniq), 1)
+                pairs = np.unique(doc_ids.astype(np.int64) * V + inv)
+                pdoc = pairs // V
+                pinv = (pairs % V).astype(np.intp)
+                firsts = np.flatnonzero(np.r_[True, pdoc[1:] != pdoc[:-1]])
+                red = np.minimum.reduceat(hv[:, pinv], firsts, axis=1)
+                mins[sl[pdoc[firsts]]] = red.T
+                start = end
+        # --- short docs: whole-text shingle (interned across the batch)
+        if not long_mask.all():
+            sidx = np.flatnonzero(~long_mask)
+            svocab: dict[str, int] = {}
+            sids = np.fromiter(
+                (svocab.setdefault(base.iloc[int(i)], len(svocab)) for i in sidx),
+                dtype=np.intp,
+                count=sidx.size,
+            )
+            shv = _md5_family_hashes(list(svocab), num_hashes)
+            mins[sidx] = shv[:, sids].T
+    return mins.astype(np.int64)
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = DEFAULT_SHINGLE_K,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """(id, __s0..__s{n-1}): minhash signature columns via mapInPandas with
-    per-batch shingle interning."""
-    import hashlib
+    """(id, __s0..__s{n-1}): minhash signature columns via mapInPandas.
 
+    ``vectorized=True`` (default) runs the flat-buffer/sliding-window/
+    reduceat form with no per-document Python loop; ``False`` keeps the
+    original per-doc interned-set form for differential testing
+    (test_minhash_vectorized_equals_pandas)."""
     import numpy as np
     import pandas as pd
 
@@ -113,6 +243,14 @@ def minhash_signatures_df(
         [in_schema[id_col]]
         + [StructField(f"__s{j}", LongType(), False) for j in range(num_hashes)]
     )
+
+    def compute_vec(batches):
+        for pdf in batches:
+            mins = _minhash_batch_vectorized(pdf, text_col, id_col, num_hashes, k)
+            out = {id_col: pdf[id_col]}
+            for j in range(num_hashes):
+                out[f"__s{j}"] = mins[:, j]
+            yield pd.DataFrame(out)
 
     def compute(batches):
         for pdf in batches:
@@ -125,12 +263,7 @@ def minhash_signatures_df(
             for sh in doc_shingles:
                 for s in sh:
                     vocab.setdefault(s, len(vocab))
-            hv = np.empty((num_hashes, max(len(vocab), 1)), dtype=np.uint64)
-            for s, i in vocab.items():
-                sb = s.encode()
-                for j in range(num_hashes):
-                    d = hashlib.md5(b"%d:%s" % (j, sb)).digest()
-                    hv[j, i] = int.from_bytes(d[:8], "big") >> 4
+            hv = _md5_family_hashes(list(vocab), num_hashes)
             out = {id_col: pdf[id_col]}
             mins = np.empty((len(pdf), num_hashes), dtype=np.int64)
             for r, sh in enumerate(doc_shingles):
@@ -140,7 +273,8 @@ def minhash_signatures_df(
                 out[f"__s{j}"] = mins[:, j]
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    fn = compute_vec if vectorized else compute
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
 
 
 def minhash_bands(
@@ -544,7 +678,8 @@ def near_dedup_cc(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Da
 
 
 def simhash_signatures_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, simhash): 60-bit SimHash over whitespace tokens of the normalized
     text, as ONE Arrow-batched pandas stage with per-batch token interning.
@@ -554,10 +689,13 @@ def simhash_signatures_df(
     are the portable 60-bit md5 hash (functions.text.stable_hash64), so the
     DuckDB oracle (plans/oracle_sql.simhash_buckets_sql) is bit-identical.
 
-    Replaces the former 60-pass ``F.aggregate`` column expression (one
-    interpreted higher-order traversal per bit); here all 64 bits come out of
-    a single numpy pass: distinct tokens hashed once per batch, a (vocab, 60)
-    ±1 vote matrix, and ``np.add.reduceat`` over per-doc occurrence runs."""
+    ``vectorized=True`` (default, VERDICT r3 item 4): normalization is one
+    pandas str pipeline and token interning is ``split → explode →
+    pd.factorize`` (C-speed hashing), removing the former per-document
+    setdefault loop; the bit-vote math was already a single numpy pass
+    (``np.add.reduceat`` over per-doc occurrence runs) and is shared by
+    both forms.  ``False`` keeps the per-doc loop for differential testing
+    (test_simhash_vectorized_equals_pandas)."""
     import hashlib
 
     import numpy as np
@@ -569,6 +707,17 @@ def simhash_signatures_df(
         [df.schema[id_col], StructField("simhash", LongType(), False)]
     )
 
+    def _votes_to_sim(bits, all_ids, offsets, weights):
+        votes = np.add.reduceat(bits[all_ids], offsets, axis=0)
+        return ((votes > 0).astype(np.int64) * weights).sum(axis=1)
+
+    def _hash_tokens(strings):
+        hv = np.empty(max(len(strings), 1), dtype=np.uint64)
+        for i, s in enumerate(strings):
+            d = hashlib.md5(s.encode()).digest()
+            hv[i] = int.from_bytes(d[:8], "big") >> 4
+        return hv
+
     def compute(batches):
         import re as _re
 
@@ -578,30 +727,49 @@ def simhash_signatures_df(
         shifts = np.arange(60, dtype=np.uint64)
         for pdf in batches:
             texts = pdf[text_col]
-            vocab: dict[str, int] = {}
-            doc_tokens = []
-            for t in texts:
-                base = ws.sub(" ", t.lower()).strip() if isinstance(t, str) else ""
-                toks = base.split(" ")
-                doc_tokens.append(
-                    np.fromiter(
-                        (vocab.setdefault(tok, len(vocab)) for tok in toks),
-                        dtype=np.intp,
-                        count=len(toks),
+            if vectorized:
+                n = len(pdf)
+                if n:
+                    base = _normalized_series(texts, ws)
+                    toks = base.str.split(" ")  # '' splits to [''], ≥1/doc
+                    lens = toks.str.len().to_numpy(np.int64)
+                    flat = toks.explode().to_numpy(dtype=object)
+                    all_ids, uniques = pd.factorize(flat)
+                    hv = _hash_tokens(list(uniques))
+                    offsets = np.concatenate(
+                        ([0], np.cumsum(lens)[:-1])
+                    ).astype(np.intp)
+                else:
+                    hv = _hash_tokens([])
+                    all_ids = np.empty(0, dtype=np.intp)
+                    offsets = np.empty(0, dtype=np.intp)
+            else:
+                vocab: dict[str, int] = {}
+                doc_tokens = []
+                for t in texts:
+                    base = ws.sub(" ", t.lower()).strip() if isinstance(t, str) else ""
+                    tk = base.split(" ")
+                    doc_tokens.append(
+                        np.fromiter(
+                            (vocab.setdefault(tok, len(vocab)) for tok in tk),
+                            dtype=np.intp,
+                            count=len(tk),
+                        )
                     )
-                )
-            hv = np.empty(max(len(vocab), 1), dtype=np.uint64)
-            for s, i in vocab.items():
-                d = hashlib.md5(s.encode()).digest()
-                hv[i] = int.from_bytes(d[:8], "big") >> 4
+                hv = _hash_tokens(list(vocab))
+                if doc_tokens:
+                    lens = [len(x) for x in doc_tokens]
+                    offsets = np.concatenate(
+                        ([0], np.cumsum(lens)[:-1])
+                    ).astype(np.intp)
+                    all_ids = np.concatenate(doc_tokens)
+                else:
+                    all_ids = np.empty(0, dtype=np.intp)
+                    offsets = np.empty(0, dtype=np.intp)
             # (vocab, 60) vote matrix in {-1, +1}
             bits = (((hv[:, None] >> shifts) & 1).astype(np.int64) * 2) - 1
-            if doc_tokens:
-                lens = [len(x) for x in doc_tokens]
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.intp)
-                all_ids = np.concatenate(doc_tokens)
-                votes = np.add.reduceat(bits[all_ids], offsets, axis=0)
-                sim = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
+            if offsets.size:
+                sim = _votes_to_sim(bits, all_ids, offsets, weights)
             else:
                 sim = np.empty(0, dtype=np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sim})

@@ -202,3 +202,62 @@ def test_connected_components_converges_on_long_chain(spark):
     comps = D.connected_components(pairs, max_iter=12)
     assert {r["comp"] for r in comps.collect()} == {0}
     assert comps.count() == 64
+
+
+def _sig_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_minhash_vectorized_equals_pandas(spark):
+    """VERDICT r3 item 4: the loop-free signature stage (flat codepoint
+    buffer + sliding windows + factorize interning + reduceat minima) is
+    bit-identical to the per-doc interned-set form, including unicode,
+    empty/null texts, sub-k shorties, and multi-slab batches."""
+    rows = [
+        (0, "hello world this is a test"),
+        (1, "  Multiple   SPACES\tand\nnewlines  "),
+        (2, "tiny"),
+        (3, ""),
+        (4, None),
+        (5, "ünïcödé 文字列 テスト with mixed ascii"),
+        (6, "x" * 5000),
+        (7, "a b " * 400),
+        (8, "exact"),
+        (9, "abcd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vec = _sig_rows(D.minhash_signatures_df(df, vectorized=True))
+    ref = _sig_rows(D.minhash_signatures_df(df, vectorized=False))
+    assert vec == ref
+    # multi-slab coverage: a tiny slab cap forces several slabs (incl. a
+    # single doc bigger than the cap forming its own slab)
+    import pandas as pd
+
+    from fluent_plugin_detect_exceptions_spark.operators.dedup import (
+        _minhash_batch_vectorized,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(6),
+         "text": ["doc %d body with words " % i * 30 for i in range(5)] + ["z" * 2000]}
+    )
+    big = _minhash_batch_vectorized(pdf, "text", "doc_id", 8, 5)
+    small = _minhash_batch_vectorized(pdf, "text", "doc_id", 8, 5,
+                                      max_slab_windows=100)
+    assert (big == small).all()
+
+
+def test_simhash_vectorized_equals_pandas(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "  the   QUICK brown\tfox  "),
+        (2, ""),
+        (3, None),
+        (4, "ünïcödé tokens 文字列 here"),
+        (5, "one-token"),
+        (6, "repeat repeat repeat distinct"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vec = _sig_rows(D.simhash_signatures_df(df, vectorized=True))
+    ref = _sig_rows(D.simhash_signatures_df(df, vectorized=False))
+    assert vec == ref
