@@ -39,7 +39,13 @@ def build_spark(cpus: int):
     return (
         builder.master(f"local[{cpus}]")
         .appName("detect-exceptions-bench")
-        .config("spark.sql.shuffle.partitions", str(max(16, 4 * cpus)))
+        # ONE wave of the (heavy, even-sized) python scan stage: the salted
+        # chunking already levels skew, so extra partitions only add task
+        # scheduling + Arrow batch-boundary overhead (r4 knob sweep at 32
+        # cores: partitions=cpus + 256k Arrow batches = 0.83x the 4*cpus/64k
+        # default on the shuffled path).  A multi-tenant cluster would keep
+        # 2-3x headroom for stragglers; single-box local mode has none.
+        .config("spark.sql.shuffle.partitions", str(max(16, cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -47,7 +53,7 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         # force bucketed scans (auto-disable would split bucket files and
         # break the input_clustered whole-conversation contract)
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")

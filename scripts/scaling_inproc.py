@@ -59,7 +59,8 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from fluent_plugin_detect_exceptions_spark.config import PipelineConfig
-    from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_with_counts
+    from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
+    from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_exceptions
     from fluent_plugin_detect_exceptions_spark.sources.transcripts import (
         skewed_tail,
         synth_transcripts,
@@ -68,11 +69,14 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{n4}]")
         .appName("scaling-inproc")
-        .config("spark.sql.shuffle.partitions", str(4 * n4))
+        # partitions = width, 256k Arrow batches: the r4 knob sweep (see
+        # bench.build_spark) — constant across both pin levels, so the
+        # efficiency ratio stays apples-to-apples
+        .config("spark.sql.shuffle.partitions", str(n4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         # tmpfs shuffle dirs: on one box the single disk is a *shared*
@@ -114,9 +118,11 @@ def main() -> None:
                            input_clustered=True)
 
     def run_counts(df_in, c) -> float:
+        # counts derived from the FULL routed plan (detect_with_counts'
+        # counts leg now takes the 2-exchange fast path — the scaling study
+        # must keep measuring the whole pipeline, same as bench's headline)
         t0 = time.perf_counter()
-        _, counts = detect_with_counts(df_in, c)
-        counts.collect()
+        sink_counts(detect_exceptions(df_in, c)).collect()
         return time.perf_counter() - t0
 
     def pipeline_once() -> float:
