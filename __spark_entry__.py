@@ -444,6 +444,21 @@ def _q_near_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def _q_near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the COMPLETE production dedup composition: capped in-bucket Jaccard
+    # (bounded quadratic) + rep-pairs recovery of the oversized buckets +
+    # connected components over the union + one-keep-per-component —
+    # every piece scale-safe, end-to-end oracle-gated
+    d = _docs(spark, sf_dir)
+    p1 = D.jaccard_pairs(d, threshold_millis=500, max_bucket=16).select(
+        "id_a", "id_b"
+    )
+    p2 = D.jaccard_rep_pairs(d, threshold_millis=500, max_bucket=16).select(
+        "id_a", "id_b"
+    )
+    return D.near_dedup_cc(d, p1.unionByName(p2).distinct()).select("doc_id")
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -486,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_oversized_buckets": _q_winnow_oversized,
         "winnow_rep_pairs": _q_winnow_rep_pairs,
         "near_dedup_cc": _q_near_dedup_cc,
+        "near_dedup_full": _q_near_dedup_full,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -583,6 +599,7 @@ WHERE doc_id NOT IN (
         "winnow_oversized_buckets": O.oversized_winnow_buckets_sql(max_bucket=100),
         "winnow_rep_pairs": O.winnow_rep_pairs_sql(min_shared=3, max_bucket=100),
         "near_dedup_cc": O.near_dedup_cc_sql(),
+        "near_dedup_full": O.near_dedup_full_sql(threshold_millis=500, max_bucket=16),
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),

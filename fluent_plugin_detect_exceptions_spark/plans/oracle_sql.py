@@ -557,6 +557,37 @@ reach(u, v) AS (
 SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u"""
 
 
+def near_dedup_full_sql(threshold_millis: int = 500, max_bucket: int = 16,
+                        num_hashes: int = 8, band_size: int = 2,
+                        k: int = 5) -> str:
+    """Mirror of the near_dedup_full gate query: capped in-bucket Jaccard
+    pairs UNION rep-pairs recovery of the oversized buckets, connected
+    components over the union (recursive reachability), keep one doc (the
+    component min) per component plus every untouched doc."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b FROM ({jaccard_pairs_sql(threshold_millis, num_hashes,
+                                             band_size, k, max_bucket)})
+  UNION
+  SELECT id_a, id_b FROM ({jaccard_rep_pairs_sql(threshold_millis, num_hashes,
+                                                 band_size, k, max_bucket)})
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS c FROM reach GROUP BY u)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT u FROM comp WHERE u <> c)"""
+
+
 def _bands_cte(num_hashes: int, band_size: int, k: int) -> str:
     """Shared WITH-prefix (sh → sigs → bands) for every minhash-band mirror:
     one construction so the banding scheme cannot drift between the

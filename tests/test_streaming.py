@@ -418,3 +418,113 @@ def test_event_time_timeout_flush(spark, tmp_path):
         assert want_batches <= {m["batch"] for m in lm}, (want_batches, lm)
     finally:
         spark.streams.removeListener(listener)
+
+
+def _write_ordered_files(spark, tmp_path, name, batches, schema):
+    """One parquet file per batch with monotone mtimes (file-order = arrival
+    order under maxFilesPerTrigger=1)."""
+    import glob
+    import time as _t
+
+    src = str(tmp_path / name)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/part={i}")
+        now = _t.time() + i
+        for p in glob.glob(f"{src}/part={i}/*.parquet"):
+            os.utime(p, (now, now))
+    return src
+
+
+def test_streaming_exact_dedup_and_watermark_eviction(spark, tmp_path):
+    """streaming_exact_dedup: first arrival per digest emits, duplicates
+    within the watermark horizon are dropped (stream output == batch
+    exact_dedup when arrival order == id order), and a duplicate arriving
+    AFTER state eviction re-emits — the documented bounded-state trade."""
+    from fluent_plugin_detect_exceptions_spark.operators.dedup import exact_dedup
+    from fluent_plugin_detect_exceptions_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    texts = ["alpha body", "beta body", "gamma body"]
+    # duplicates arrive in a LATER micro-batch than their originals: within
+    # one micro-batch dropDuplicates keeps an arbitrary partition-order row,
+    # so only cross-batch arrival order is deterministic
+    # ts start at 10: an event AT the initial watermark (0) is dropped as
+    # late before the dedup state is even consulted
+    b1 = [(i, texts[i], 10 + i) for i in range(3)]          # ts 10..12
+    b1b = [(i + 3, texts[i], 13 + i) for i in range(3)]     # ts 13..15 dups
+    b2 = [(10, "delta advancer", 200)]                      # watermark -> 195
+    # state eviction runs at END of batch: b2b's batch starts with the
+    # advanced watermark and evicts the ts-10..15 entries when it commits,
+    # so the re-arriving duplicate must come one batch LATER again
+    b2b = [(12, "epsilon advancer", 202)]
+    b3 = [(11, texts[0], 203)]                              # evicted: re-emits
+    schema = "doc_id long, text string, ts long"
+    src = _write_ordered_files(
+        spark, tmp_path, "dedup_src", [b1, b1b, b2, b2b, b3], schema
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="5 seconds")
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.sql("select * from dedup_stream").collect()
+    }
+    # within-horizon dedup: ids 0,1,2 kept, 3,4,5 (same texts) dropped —
+    # and arrival order == id order here, so stream == batch exact_dedup
+    within = {x for x in got if x[0] <= 5}
+    batch_df = spark.createDataFrame(b1 + b1b, schema)
+    batch_keep = {
+        (r["doc_id"], r["text"]) for r in exact_dedup(batch_df).collect()
+    }
+    assert within == batch_keep == {(0, texts[0]), (1, texts[1]), (2, texts[2])}
+    assert (10, "delta advancer") in got
+    # post-eviction duplicate re-emitted (bounded state, not exactness)
+    assert (11, texts[0]) in got
+
+
+def test_streaming_minhash_bands_equals_batch(spark, tmp_path):
+    """Signature stages are stateless maps: the batch band operator runs on
+    a stream unchanged and emits exactly the batch assignments."""
+    from fluent_plugin_detect_exceptions_spark.operators.dedup import minhash_bands
+    from fluent_plugin_detect_exceptions_spark.streaming.dedup_stream import (
+        streaming_minhash_bands,
+    )
+
+    rows = [(i, f"document number {i % 4} with shared body text") for i in range(12)]
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "bands_src")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_minhash_bands(stream)
+        .writeStream.format("memory").queryName("bands_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bands"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from bands_stream").collect()
+    )
+    want = sorted(tuple(r) for r in minhash_bands(df).collect())
+    assert got == want
