@@ -2,12 +2,16 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct.  The
 Spark-side plumbing — schema, partition sizing, Arrow batch shape, UDF
-signatures — is real and tested.  Decoding is a ``decode_fn`` hook with two
-REAL pure-python codecs (uncompressed 24-bit BMP, PCM16 WAV — verified
-against synthesized bytes end-to-end through the Spark plan) and a clearly
-marked deterministic stub for formats that need native libraries absent in
-this environment (PNG/JPEG/MP4 → PIL/ffmpeg); swapping those in is a
-one-function change and does not alter the plan shape.
+signatures — is real and tested.  Decoding is a ``decode_fn`` hook with
+three REAL pure-python codecs (uncompressed 24-bit BMP; 8-bit PNG across
+all five scanline filters and color types 0/2/3/4/6 via stdlib zlib; PCM16
+WAV — all verified against synthesized bytes end-to-end through the Spark
+plan) plus REAL MP4 metadata probing (``probe_mp4``: ISO-BMFF box walk for
+brand/duration/track count).  Only codec-library-bound work remains
+stubbed behind a clearly marked deterministic fake: JPEG entropy decode
+and video FRAME pixel decode (PIL/ffmpeg absent in this environment and
+unfetchable — no network); swapping those in is a one-function change and
+does not alter the plan shape.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
 every operator here (a) goes through ``mapInPandas`` with small Arrow
@@ -95,6 +99,143 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) float32 RGB in [0, 1] — PURE python/numpy + stdlib
+    zlib (no PIL).  Supports the common web subset: 8-bit depth,
+    non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
+    Average/Paeth).  Sub unfilters via a vectorized per-channel cumsum;
+    Average/Paeth keep a per-byte loop on only the rows that use them.
+    Alpha is dropped (features pool over RGB)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if depth != 8 or inter != 0 or comp != 0 or filt != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if ctype not in (0, 2, 3, 4, 6):
+        raise ValueError(f"unsupported color type {ctype}")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    rec = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per-channel running sum
+            cur = (line.reshape(w, ch).cumsum(axis=0) & 0xFF).ravel()
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        rec[y] = cur.astype(np.uint8)
+        prev = cur
+    img = rec.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        rgb = plte[img[..., 0]]
+    elif ctype in (0, 4):
+        rgb = np.repeat(img[..., :1], 3, axis=-1)
+    else:
+        rgb = img[..., :3]
+    return rgb.astype(np.float32) / 255.0
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """MP4/ISO-BMFF metadata WITHOUT ffmpeg: walk the box tree and read
+    ftyp brand, mvhd duration/timescale, and the track count.  Pixel decode
+    still needs a codec library (the one genuinely environment-blocked
+    piece); this gives ``frame_sample_plan`` a REAL duration instead of a
+    trusted metadata column."""
+    import struct
+
+    def walk(buf, start, end, depth=0):
+        out = []
+        pos = start
+        while pos + 8 <= end:
+            sz, typ = struct.unpack_from(">I4s", buf, pos)
+            hdr = 8
+            if sz == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    break
+                sz = struct.unpack_from(">Q", buf, pos + 8)[0]
+                hdr = 16
+            elif sz == 0:  # to end of enclosing box
+                sz = end - pos
+            if sz < hdr or pos + sz > end:
+                break
+            out.append((typ, pos + hdr, pos + sz))
+            pos += sz
+        return out
+
+    top = walk(payload, 0, len(payload))
+    if not any(t == b"ftyp" for t, _, _ in top):
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    info: dict = {"n_tracks": 0}
+    for typ, s, e in top:
+        if typ == b"ftyp":
+            info["brand"] = payload[s : s + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            for t2, s2, e2 in walk(payload, s, e, 1):
+                if t2 == b"mvhd":
+                    ver = payload[s2]
+                    if ver == 1:
+                        ts, dur = (
+                            int.from_bytes(payload[s2 + 20 : s2 + 24], "big"),
+                            int.from_bytes(payload[s2 + 24 : s2 + 32], "big"),
+                        )
+                    else:
+                        ts, dur = (
+                            int.from_bytes(payload[s2 + 12 : s2 + 16], "big"),
+                            int.from_bytes(payload[s2 + 16 : s2 + 20], "big"),
+                        )
+                    info["timescale"] = ts
+                    info["duration_ms"] = int(dur * 1000 / ts) if ts else None
+                elif t2 == b"trak":
+                    info["n_tracks"] += 1
+    return info
+
+
 def decode_wav_pcm16(payload: bytes) -> np.ndarray:
     """PCM16 WAV → (n_samples, n_channels) float32 in [-1, 1]."""
     import struct
@@ -141,11 +282,14 @@ def pooled_feature(arr: np.ndarray, bins: int = 64) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Magic-byte dispatch to a real pure-python decoder; formats without a
-    pure-python codec here fall through to the deterministic stub."""
+    pure-python codec here (JPEG, video frames) fall through to the
+    deterministic stub."""
     if payload is None:
         raise NotImplementedError("null payload: nothing to decode")
     if payload[:2] == b"BM":
         return pooled_feature(decode_bmp(payload))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return pooled_feature(decode_png(payload))
     if payload[:4] == b"RIFF":
         return pooled_feature(decode_wav_pcm16(payload))
     return _stub_decode(payload, kind)
@@ -184,6 +328,48 @@ def extract_features(
     return df.select(id_col, kind_col, payload_col).mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("brand", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", IntegerType(), True),
+    ]
+)
+
+
+def probe_media(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Container-level metadata extracted from the BYTES (probe_mp4), not
+    trusted from metadata columns — (media_id, brand, duration_ms,
+    n_tracks); non-ISO-BMFF payloads yield nulls.  Runs before any shuffle
+    so raw bytes never move; feed the probed duration into
+    ``frame_sample_plan`` via a join on media_id to fan frame decode out
+    over REAL durations."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf[id_col], "brand": [], "duration_ms": [],
+                   "n_tracks": []}
+            for payload in pdf[payload_col]:
+                raw = (
+                    payload.encode("latin-1", "replace")
+                    if isinstance(payload, str)
+                    else (payload or b"")
+                )
+                try:
+                    info = probe_mp4(raw)
+                except ValueError:
+                    info = {}
+                out["brand"].append(info.get("brand"))
+                out["duration_ms"].append(info.get("duration_ms"))
+                out["n_tracks"].append(info.get("n_tracks"))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=PROBE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -129,3 +129,175 @@ def test_real_decode_through_spark_plan(spark):
     assert aud.shape == (64,) and np.all(aud > 0.1) and np.all(aud < 0.25)
     # unknown codec falls back to the deterministic stub (still 64 floats)
     assert len(feats[12]["feature"]) == 64
+
+
+def _encode_png(img, ctype, row_filters, palette=None):
+    """Minimal test-side PNG encoder: applies the REQUESTED filter per row
+    (so the decoder's unfilter paths are each exercised), zlib-compresses,
+    wraps chunks with CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        cur = flat[y]
+        ft = row_filters[y % len(row_filters)]
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            left = np.concatenate((np.zeros(ch, np.int64), cur[:-ch]))
+            out = (cur - left) & 0xFF
+        elif ft == 2:
+            out = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate((np.zeros(ch, np.int64), cur[:-ch]))
+            out = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # paeth
+            out = np.empty(w * ch, np.int64)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (cur[i] - pr) & 0xFF
+        raw.append(ft)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_and_color_types():
+    """decode_png inverts every scanline filter and maps every supported
+    color type to RGB, bit-exactly."""
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (13, 9, 3), np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(_encode_png(rgb, 2, filters))
+        assert np.array_equal((got * 255).round().astype(np.uint8), rgb), filters
+    gray = rng.randint(0, 256, (6, 5), np.uint8)
+    got = decode_png(_encode_png(gray.reshape(6, 5, 1), 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(
+        (got * 255).round().astype(np.uint8), np.repeat(gray[..., None], 3, -1)
+    )
+    rgba = rng.randint(0, 256, (5, 4, 4), np.uint8)
+    got = decode_png(_encode_png(rgba, 6, [4, 3, 2, 1, 0]))
+    assert np.array_equal((got * 255).round().astype(np.uint8), rgba[..., :3])
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    idx = rng.randint(0, 16, (7, 6), np.uint8)
+    got = decode_png(_encode_png(idx.reshape(7, 6, 1), 3, [0, 1, 2], palette=pal))
+    assert np.array_equal((got * 255).round().astype(np.uint8), pal[idx])
+
+
+def test_png_through_spark_plan(spark):
+    """Real PNG bytes through the exact extract_features plan shape."""
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        extract_features,
+        real_decode,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    png = _encode_png(img, 2, [0, 1, 2, 3, 4])
+    rows = [(1, "image", png.decode("latin-1"))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload string")
+    # payload column is latin-1 string in this test table; extract_features
+    # encodes str payloads utf-8, so decode via explicit bytes round-trip
+    out = extract_features(
+        df,
+        decode_fn=lambda p, k: real_decode(
+            p.decode("utf-8").encode("latin-1") if isinstance(p, bytes) else p, k
+        ),
+    ).collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == 64
+    want = (img.astype(np.float32) / 255.0).mean(axis=-1)
+    got8 = np.asarray(out[0]["feature"], np.float32).reshape(8, 8)
+    # pooled feature of a 16x16 image = 2x2 block means
+    ref = want.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    assert np.allclose(got8, ref, atol=1e-6)
+
+
+def test_probe_mp4_metadata():
+    """probe_mp4 reads brand/duration/tracks from a hand-built ISO-BMFF
+    tree (ftyp + moov{mvhd, trak, trak})."""
+    import struct
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        probe_mp4,
+    )
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = bytes([0, 0, 0, 0]) + b"\0" * 8 + struct.pack(">II", 1000, 7500) + b"\0" * 80
+    moov = box(b"mvhd", mvhd) + box(b"trak", b"") + box(b"trak", b"")
+    payload = box(b"ftyp", b"isom" + b"\0" * 12) + box(b"moov", moov)
+    info = probe_mp4(payload)
+    assert info["brand"] == "isom"
+    assert info["timescale"] == 1000 and info["duration_ms"] == 7500
+    assert info["n_tracks"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ftyp"):
+        probe_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_probe_media_through_spark(spark):
+    """probe_media extracts real container metadata inside the plan (before
+    any shuffle) and joins into frame_sample_plan for real durations."""
+    import struct
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        frame_sample_plan,
+        probe_media,
+    )
+    from pyspark.sql import functions as F
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = bytes([0, 0, 0, 0]) + b"\0" * 8 + struct.pack(">II", 1000, 3200) + b"\0" * 80
+    mp4 = box(b"ftyp", b"mp42" + b"\0" * 12) + box(b"moov", box(b"mvhd", mvhd))
+    rows = [
+        (1, "video", mp4.decode("latin-1")),
+        (2, "image", "not a container"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload string")
+    probed = {r["media_id"]: (r["brand"], r["duration_ms"], r["n_tracks"])
+              for r in probe_media(df).collect()}
+    assert probed[1] == ("mp42", 3200, 0)
+    assert probed[2] == (None, None, None)
+    # probed duration drives the frame fan-out: 3200ms / 1000ms -> 3 frames
+    vids = df.join(probe_media(df).select("media_id", "duration_ms"), "media_id")
+    frames = frame_sample_plan(
+        vids.withColumn("width", F.lit(None).cast("int"))
+        .withColumn("height", F.lit(None).cast("int"))
+    ).collect()
+    assert sorted(r["frame_ms"] for r in frames) == [0, 1000, 2000]
