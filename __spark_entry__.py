@@ -459,6 +459,40 @@ def _q_near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dedup_cc(d, p1.unionByName(p2).distinct()).select("doc_id")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # test-set decontamination: drop training docs sharing too many
+    # winnowing fingerprints with the eval split (benchmark-leakage
+    # removal — any copied passage >= k+w-1 chars guarantees a shared
+    # fingerprint).  min_shared=80 here because the SYNTHETIC corpus is
+    # template-generated with ~80 median shared fps between any train doc
+    # and the 50-doc eval split; real corpora sit near 3-10 (the operator
+    # default), where only actual leakage crosses the bar.
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") < 450)
+    ev = d.filter(F.col("doc_id") >= 450)
+    return D.decontaminate(train, ev, min_shared=80).select("doc_id")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic source-mixing: md5-bucket per doc vs per-source rates
+    # (reproducible across runs/engines/cluster sizes, unlike df.sample)
+    from fluent_plugin_detect_exceptions_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates_millis={"src0": 1000, "src1": 250, "src2": 0},
+        default_millis=500,
+    ).select("doc_id", "source")
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # intra-document repetition (Gopher-rule family at word level): total/
+    # distinct words + top word-2-gram occurrence count per doc
+    return T.repetition_stats_df(_docs(spark, sf_dir))
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -502,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_rep_pairs": _q_winnow_rep_pairs,
         "near_dedup_cc": _q_near_dedup_cc,
         "near_dedup_full": _q_near_dedup_full,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "repetition_stats": _q_repetition_stats,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -600,6 +637,11 @@ WHERE doc_id NOT IN (
         "winnow_rep_pairs": O.winnow_rep_pairs_sql(min_shared=3, max_bucket=100),
         "near_dedup_cc": O.near_dedup_cc_sql(),
         "near_dedup_full": O.near_dedup_full_sql(threshold_millis=500, max_bucket=16),
+        "decontaminate": O.decontaminate_sql(split_id=450, min_shared=80),
+        "stratified_sample": O.stratified_sample_sql(
+            {"src0": 1000, "src1": 250, "src2": 0}, default_millis=500
+        ),
+        "repetition_stats": O.repetition_stats_sql(),
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),

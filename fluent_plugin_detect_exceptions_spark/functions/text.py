@@ -164,3 +164,59 @@ def quality_stats(col: Column) -> dict[str, Column]:
         # mean token length in tenths (integerized: floor(10*chars/tokens))
         "tok_len_deci": F.floor(10.0 * n_chars / F.greatest(toks, F.lit(1))).cast("long"),
     }
+
+
+def repetition_stats_df(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Intra-document repetition features (the Gopher-rule family adapted
+    to word level): per document, total and DISTINCT word counts plus the
+    occurrence count of the most frequent word 2-gram — the signals that
+    flag machine-generated / boilerplate-looped text, which per-document
+    length or punctuation stats miss.  All integers (ratios derive
+    downstream, matching quality_stats).
+
+    Plan shape: words materialize as an attribute before the 2-gram
+    transform (interpreted-HOF lesson: a non-attribute child re-evaluates
+    per lambda element), word-level stats are pure array expressions, and
+    the top-2-gram count is explode → two map-side-combinable groupBys on
+    (doc, gram) then (doc) — fine-grained keys, no skew; single-word docs
+    rejoin with zero counts via a left join on the narrow id column."""
+    from pyspark.sql import functions as F
+
+    w = df.select(
+        id_col, F.split(normalized(F.col(text_col)), " ").alias("__words")
+    )
+    base = w.select(
+        id_col,
+        F.size("__words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__words")).cast("long").alias("n_distinct_words"),
+        F.greatest(F.size("__words") - 1, F.lit(0)).cast("long").alias("n_2grams"),
+    )
+    grams = w.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__words") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__words"), i + 1),
+                        F.element_at(F.col("__words"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__g"),
+    )
+    top = (
+        grams.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(F.max("__n").cast("long").alias("top_2gram_n"))
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        "n_2grams",
+        F.coalesce("top_2gram_n", F.lit(0)).cast("long").alias("top_2gram_n"),
+    )

@@ -586,6 +586,44 @@ def winnow_rep_pairs(
     )
 
 
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Test-set DECONTAMINATION: drop every training document sharing
+    ≥ ``min_shared`` winnowing fingerprints with the eval/benchmark corpus
+    as a whole — any copied passage of length ≥ k+w-1 chars guarantees a
+    shared fingerprint, so threshold-level overlap catches verbatim and
+    near-verbatim benchmark leakage that exact-match dedup misses.
+
+    Scale shape (the bipartite form of winnow_dup_pairs): the eval side
+    reduces to its DISTINCT fingerprint set — typically tiny next to the
+    training corpus, so Spark broadcasts it and the contamination check is
+    a map-side semi join; then one groupBy on the narrow train id and a
+    LEFT ANTI join.  Raw text never moves; only (id, fp) pairs do."""
+    from ..functions.text import winnow_fingerprints_df
+
+    train_fps = winnow_fingerprints_df(train_df, text_col, id_col, k, w)
+    eval_fps = winnow_fingerprints_df(eval_df, text_col, id_col, k, w).select(
+        "fp"
+    ).distinct()
+    contaminated = (
+        train_fps.join(eval_fps, "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+        .select(F.col(id_col).alias("__drop"))
+    )
+    return train_df.join(
+        contaminated, train_df[id_col] == contaminated["__drop"], "left_anti"
+    )
+
+
 def near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep one representative per near-duplicate group: drop every doc that
     has a verified near-dup with a SMALLER id (``pairs`` carry id_a < id_b

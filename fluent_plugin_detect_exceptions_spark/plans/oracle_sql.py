@@ -417,14 +417,15 @@ def _hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def winnow_fingerprints_sql(k: int = 7, w: int = 5) -> str:
+def winnow_fingerprints_sql(k: int = 7, w: int = 5, where: str = "") -> str:
     """Mirror of functions.text.winnow_fingerprints: positional k-gram
     rolling hashes → distinct sliding-window minima, exploded to
-    (doc_id, fp) rows."""
+    (doc_id, fp) rows.  ``where`` restricts the source rows (bipartite
+    forms like decontamination)."""
     base = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
     h = _hash64_sql(f"substr(base, i + 1, {k})")
     return f"""
-WITH b AS (SELECT doc_id, {base} AS base FROM documents),
+WITH b AS (SELECT doc_id, {base} AS base FROM documents {where}),
 g AS (
   SELECT doc_id,
          CASE WHEN length(base) >= {k}
@@ -501,6 +502,66 @@ FROM cand c
 JOIN fps a ON a.doc_id = c.id_a
 JOIN fps b ON b.doc_id = c.id_b AND b.fp = a.fp
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+def decontaminate_sql(split_id: int = 450, k: int = 7, w: int = 5,
+                      min_shared: int = 3) -> str:
+    """Mirror of operators.dedup.decontaminate with train = doc_id <
+    split_id and eval = the rest: training docs sharing ≥ min_shared
+    winnowing fingerprints with the eval corpus are dropped."""
+    train = winnow_fingerprints_sql(k, w, where=f"WHERE doc_id < {split_id}")
+    ev = winnow_fingerprints_sql(k, w, where=f"WHERE doc_id >= {split_id}")
+    return f"""
+WITH tf AS ({train}),
+ef AS (SELECT DISTINCT fp FROM ({ev})),
+bad AS (
+  SELECT tf.doc_id FROM tf JOIN ef USING (fp)
+  GROUP BY tf.doc_id HAVING count(*) >= {min_shared}
+)
+SELECT doc_id FROM documents
+WHERE doc_id < {split_id} AND doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+
+def stratified_sample_sql(rates_millis: dict, default_millis: int = 1000,
+                          salt: str = "sample") -> str:
+    """Mirror of operators.sample.stratified_sample: deterministic
+    md5-bucket per doc vs a per-source rate CASE."""
+    bucket = _hash64_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    cases = " ".join(
+        f"WHEN '{v}' THEN {m}" for v, m in sorted(rates_millis.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {bucket} < CASE source {cases} ELSE {default_millis} END"""
+
+
+def repetition_stats_sql() -> str:
+    """Mirror of functions.text.repetition_stats_df: per-doc word counts,
+    distinct words, 2-gram count and top-2-gram occurrence count."""
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS words FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+         CAST(greatest(len(words) - 1, 0) AS BIGINT) AS n_2grams
+  FROM w
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS g
+  FROM w
+),
+top AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_2gram_n
+  FROM (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.n_distinct_words, b.n_2grams,
+       CAST(coalesce(t.top_2gram_n, 0) AS BIGINT) AS top_2gram_n
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id"""
 
 
 def near_dedup_cc_sql(n_docs: int = 40, piece_len: int = 240,

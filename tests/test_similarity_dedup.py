@@ -261,3 +261,61 @@ def test_simhash_vectorized_equals_pandas(spark):
     vec = _sig_rows(D.simhash_signatures_df(df, vectorized=True))
     ref = _sig_rows(D.simhash_signatures_df(df, vectorized=False))
     assert vec == ref
+
+
+def test_decontaminate_drops_leaked_passages(spark):
+    """A training doc containing a verbatim eval passage (>= k+w-1 chars)
+    is dropped; unrelated docs survive."""
+    leak = "the exact benchmark question text that must not leak into training"
+    train = spark.createDataFrame(
+        [(1, f"some long preamble then {leak} and a suffix here"),
+         (2, "a completely unrelated training document body with no overlap")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark item: {leak}")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in D.decontaminate(train, ev, min_shared=3).collect()}
+    assert kept == {2}
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from fluent_plugin_detect_exceptions_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    rows = [(i, "keep_all" if i % 3 == 0 else ("drop_all" if i % 3 == 1 else "half"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(
+        df, {"keep_all": 1000, "drop_all": 0}, default_millis=500
+    )
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    srcs = {}
+    for _, s in got:
+        srcs[s] = srcs.get(s, 0) + 1
+    assert srcs.get("keep_all") == 100
+    assert "drop_all" not in srcs
+    assert 20 < srcs.get("half", 0) < 80  # ~50% of 100, deterministic
+    again = [(r["doc_id"], r["source"]) for r in out.collect()]
+    assert sorted(got) == sorted(again)  # content-stable, no RNG state
+
+
+def test_repetition_stats_values(spark):
+    from fluent_plugin_detect_exceptions_spark.functions.text import (
+        repetition_stats_df,
+    )
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "all words here differ fully"),
+        (3, "one"),
+        (4, "ab cd ab cd ab cd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_distinct_words"], r["n_2grams"],
+                         r["top_2gram_n"]) for r in repetition_stats_df(df).collect()}
+    assert got[1] == (4, 1, 3, 3)      # "spam spam" occurs 3x
+    assert got[2] == (5, 5, 4, 1)
+    assert got[3] == (1, 1, 0, 0)      # no 2-grams at all
+    assert got[4] == (6, 2, 5, 3)      # "ab cd" 3x beats "cd ab" 2x
