@@ -100,7 +100,8 @@ def main() -> None:
     from fluent_plugin_detect_exceptions_spark.operators.dedup import lsh_candidate_buckets
     from fluent_plugin_detect_exceptions_spark.operators.similarity import cosine_topk
     from fluent_plugin_detect_exceptions_spark.functions import text as T
-    from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_with_counts
+    from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
+    from fluent_plugin_detect_exceptions_spark.plans.pipeline import detect_exceptions
     from fluent_plugin_detect_exceptions_spark.sources.transcripts import (
         skewed_tail,
         synth_transcripts,
@@ -158,11 +159,8 @@ def main() -> None:
     # workers that will serve the pinned run already exist and get pinned.
     if os.environ.get("SPARK_GRAFT_PIN"):
         from fluent_plugin_detect_exceptions_spark.config import PipelineConfig as _PC
-        from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
-            detect_with_counts as _dwc,
-        )
 
-        _dwc(transcripts.limit(5000), _PC())[1].collect()
+        sink_counts(detect_exceptions(transcripts.limit(5000), _PC())).collect()
         pin_tree(set(range(cpus)))
 
     timings: dict[str, float] = {}
@@ -204,11 +202,6 @@ def main() -> None:
         # the whole pipeline incl. coalesce + rejoin, so counts derive from
         # the routed records directly; no persist — caching the full routed
         # text through the memory store costs more than it saves)
-        from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
-        from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
-            detect_exceptions,
-        )
-
         counts = sink_counts(detect_exceptions(transcripts, cfg))
         cmap = {r["sink"]: r["n"] for r in counts.collect()}
         return sum(cmap.values()), cmap
@@ -233,11 +226,6 @@ def main() -> None:
     )
 
     def run_pipeline_bucketed():
-        from fluent_plugin_detect_exceptions_spark.operators.route import sink_counts
-        from fluent_plugin_detect_exceptions_spark.plans.pipeline import (
-            detect_exceptions,
-        )
-
         counts = sink_counts(detect_exceptions(bucketed, cfg_b))
         cmap = {r["sink"]: r["n"] for r in counts.collect()}
         return sum(cmap.values()), cmap

@@ -180,8 +180,6 @@ def repetition_stats_df(df, text_col: str = "text", id_col: str = "doc_id"):
     the top-2-gram count is explode → two map-side-combinable groupBys on
     (doc, gram) then (doc) — fine-grained keys, no skew; single-word docs
     rejoin with zero counts via a left join on the narrow id column."""
-    from pyspark.sql import functions as F
-
     w = df.select(
         id_col, F.split(normalized(F.col(text_col)), " ").alias("__words")
     )

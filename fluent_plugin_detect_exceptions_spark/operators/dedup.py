@@ -690,9 +690,15 @@ def connected_components(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        # release the superseded round's checkpoint blocks eagerly (safe:
+        # new_labels is already materialized and the convergence count above
+        # consumed the old frame) — without this up to max_iter label-table
+        # copies sit in executor storage until GC (code-review r4)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("u").alias("id"), F.col("label").alias("comp"))
 
 

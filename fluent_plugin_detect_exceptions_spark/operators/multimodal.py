@@ -313,7 +313,16 @@ def extract_features(
         for pdf in batches:
             feats, nbytes = [], []
             for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
-                raw = payload.encode() if isinstance(payload, str) else (payload or b"")
+                # latin-1 is the bytes<->str bijection: string-typed payload
+                # columns (test tables) round-trip the exact bytes, keeping
+                # magic-byte dispatch intact — utf-8 would mangle \x80-\xff
+                # (code-review r4); production tables use BinaryType and
+                # skip this branch entirely
+                raw = (
+                    payload.encode("latin-1", "replace")
+                    if isinstance(payload, str)
+                    else (payload or b"")
+                )
                 nbytes.append(len(raw))
                 feats.append(decode(raw, kind).ravel().tolist())
             yield pd.DataFrame(

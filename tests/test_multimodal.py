@@ -228,14 +228,9 @@ def test_png_through_spark_plan(spark):
     png = _encode_png(img, 2, [0, 1, 2, 3, 4])
     rows = [(1, "image", png.decode("latin-1"))]
     df = spark.createDataFrame(rows, "media_id long, kind string, payload string")
-    # payload column is latin-1 string in this test table; extract_features
-    # encodes str payloads utf-8, so decode via explicit bytes round-trip
-    out = extract_features(
-        df,
-        decode_fn=lambda p, k: real_decode(
-            p.decode("utf-8").encode("latin-1") if isinstance(p, bytes) else p, k
-        ),
-    ).collect()
+    # string payloads round-trip via latin-1 inside extract_features, so
+    # real_decode sees the exact PNG bytes
+    out = extract_features(df, decode_fn=real_decode).collect()
     assert len(out) == 1 and len(out[0]["feature"]) == 64
     want = (img.astype(np.float32) / 255.0).mean(axis=-1)
     got8 = np.asarray(out[0]["feature"], np.float32).reshape(8, 8)
