@@ -493,6 +493,25 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_stats_df(_docs(spark, sf_dir))
 
 
+def _q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the CAPSTONE composition: exact dedup ∩ CC near-dedup (capped pairs +
+    # rep recovery) ∩ quality ∩ repetition ∩ stratified sampling — every
+    # gate an oracle-gated piece, intersected over the immutable corpus
+    # (decontamination is gated standalone; with an eval corpus it joins
+    # the intersection — pytest-covered)
+    from fluent_plugin_detect_exceptions_spark.plans.training_data import (
+        prepare_training_data,
+    )
+
+    return prepare_training_data(
+        _docs(spark, sf_dir),
+        threshold_millis=500,
+        max_bucket=16,
+        rates_millis={"src0": 1000, "src1": 250, "src2": 0},
+        default_millis=500,
+    ).select("doc_id", "source")
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -539,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
+        "training_data_pipeline": _q_training_data_pipeline,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -642,6 +662,12 @@ WHERE doc_id NOT IN (
             {"src0": 1000, "src1": 250, "src2": 0}, default_millis=500
         ),
         "repetition_stats": O.repetition_stats_sql(),
+        "training_data_pipeline": O.prepare_training_data_sql(
+            threshold_millis=500,
+            max_bucket=16,
+            rates_millis={"src0": 1000, "src1": 250, "src2": 0},
+            default_millis=500,
+        ),
         "minhash_bands": O.minhash_bands_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "simhash_buckets": O.simhash_buckets_sql(prefix_bits=8),

@@ -564,6 +564,43 @@ SELECT b.doc_id, b.n_words, b.n_distinct_words, b.n_2grams,
 FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id"""
 
 
+def prepare_training_data_sql(
+    threshold_millis: int = 500, max_bucket: int = 16,
+    rates_millis: dict | None = None, default_millis: int = 1000,
+    min_chars: int = 100, min_tokens: int = 20,
+    punct_ratio_x: int = 5, top2gram_ratio_x: int = 4,
+    salt: str = "sample",
+) -> str:
+    """Mirror of plans.training_data.prepare_training_data (without the
+    eval corpus — decontamination is gated standalone): intersection of
+    the exact-dedup, CC near-dedup, quality, repetition and sampling
+    gates.  Quality expressions copy the training_data_filter oracle
+    fragments verbatim so the two cannot drift."""
+    toks = r"len(regexp_extract_all(d.text, '\S+'))"
+    punct = r"len(regexp_extract_all(d.text, '[.,!?;:]'))"
+    sample_pred = ""
+    if rates_millis is not None or default_millis != 1000:
+        bucket = _hash64_sql(f"'{salt}:' || CAST(d.doc_id AS VARCHAR)") + " % 1000"
+        cases = " ".join(
+            f"WHEN '{v}' THEN {m}" for v, m in sorted((rates_millis or {}).items())
+        )
+        case = f"CASE d.source {cases} ELSE {default_millis} END" if cases else str(
+            default_millis
+        )
+        sample_pred = f"\n  AND {bucket} < {case}"
+    return f"""
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+  AND d.doc_id IN ({near_dedup_full_sql(threshold_millis, max_bucket)})
+  AND CAST(length(d.text) AS BIGINT) >= {min_chars}
+  AND {toks} >= {min_tokens}
+  AND {punct} * {punct_ratio_x} <= {toks}
+  AND d.doc_id IN (
+    SELECT doc_id FROM ({repetition_stats_sql()})
+    WHERE top_2gram_n * {top2gram_ratio_x} <= greatest(n_2grams, 1)
+  ){sample_pred}"""
+
+
 def near_dedup_cc_sql(n_docs: int = 40, piece_len: int = 240,
                       stride: int = 120, n_pieces: int = 3,
                       min_len: int = 40, shingle_k: int = 5,

@@ -319,3 +319,40 @@ def test_repetition_stats_values(spark):
     assert got[2] == (5, 5, 4, 1)
     assert got[3] == (1, 1, 0, 0)      # no 2-grams at all
     assert got[4] == (6, 2, 5, 3)      # "ab cd" 3x beats "cd ab" 2x
+
+
+def test_prepare_training_data_with_eval_corpus(spark):
+    """The full composition incl. the decontamination gate: a doc that
+    passes every other gate but contains a leaked eval passage is dropped;
+    the clean high-quality doc survives; low-quality and duplicate docs
+    fall to their own gates."""
+    from fluent_plugin_detect_exceptions_spark.plans.training_data import (
+        prepare_training_data,
+    )
+
+    leak = "the exact benchmark question text that must not leak into training"
+    good = ("a perfectly reasonable training document, with enough distinct "
+            "words and characters to pass the quality thresholds easily; "
+            "it discusses several different topics using varied vocabulary "
+            "and normal punctuation throughout the entire body of the text.")
+    other = ("an entirely different article covering other material: the "
+             "writer explains various unrelated concepts, offering detailed "
+             "examples plus commentary, keeping sentences informative and "
+             "long enough that every quality threshold clears comfortably.")
+    rows = [
+        (1, good, "src0"),
+        (2, good, "src0"),                      # exact duplicate -> dropped
+        (3, f"{other} moreover {leak} appears verbatim here.", "src0"),
+        (4, "short", "src0"),                   # quality gate
+        (5, "spam " * 60, "src0"),              # repetition gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ev = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in prepare_training_data(
+        docs, eval_df=ev, decont_min_shared=3
+    ).collect()}
+    assert kept == {1}  # 3 falls ONLY to decontamination (distinct body)
+    # without the eval corpus, 3 survives — proving the drop was the
+    # decontamination gate, not near-dup/quality
+    kept_no_eval = {r["doc_id"] for r in prepare_training_data(docs).collect()}
+    assert kept_no_eval == {1, 3}
