@@ -1,0 +1,210 @@
+"""Resumable corpus-preparation batch job: ``prepare_training_data`` over
+a documents table, with bucket-manifest checkpointing.
+
+Two phases, because dedup gates are GLOBAL (near-dup pairs cross any
+partitioning of the corpus — a per-bucket dedup would silently keep
+cross-bucket duplicates):
+
+1. **Gate phase** (runs once, checkpointed): compute the keep-id sets that
+   need a global view — exact-dedup representatives, connected-components
+   near-dedup keeps, decontamination survivors, repetition passers — and
+   write them as one narrow (doc_id) parquet.  Ids are orders of magnitude
+   smaller than the corpus; this is the only full-corpus pass.
+2. **Materialization phase** (resumable per bucket): for each doc-id hash
+   bucket, semi-join the gate set, apply the per-row gates (quality,
+   sampling — pure functions of the row), and write
+   ``out/bucket=K/part-*.parquet``; append a manifest entry.  A restart
+   skips completed buckets and NEVER recomputes the gate phase (same
+   config + input fingerprint → replayed from the checkpoint).
+
+Usage:
+
+    python -m fluent_plugin_detect_exceptions_spark.data_job \\
+        --input /data/documents.parquet --output /data/prepared \\
+        --eval /data/benchmarks.parquet --buckets 16 \\
+        --rate src0=1000 --rate src1=250 --default-rate 500
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession, functions as F
+
+from .checkpoint import (
+    BucketManifest,
+    config_fingerprint,
+    prepass_fingerprint,
+)
+from .functions.text import quality_stats
+from .operators.sample import stratified_sample
+
+GATE_PHASE = -1  # manifest key for the global gate phase
+
+
+def doc_bucket_of(id_col: str, n_buckets: int):
+    """crc32 bucket over the STRING form of the id — checkpoint.bucket_of's
+    binary cast is string-only under ANSI mode; the string round-trip is
+    just as stable across Spark versions/JVMs."""
+    return F.pmod(
+        F.crc32(F.col(id_col).cast("string").cast("binary")), F.lit(n_buckets)
+    ).cast("int")
+
+
+@dataclass(frozen=True)
+class DataJobConfig:
+    threshold_millis: int = 500
+    max_bucket: int = 16
+    decont_min_shared: int = 10
+    rates_millis: tuple = ()  # sorted (source, millis) pairs
+    default_millis: int = 1000
+    min_chars: int = 100
+    min_tokens: int = 20
+    punct_ratio_x: int = 5
+    top2gram_ratio_x: int = 4
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    stratum_col: str = "source"
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="corpus preparation pipeline")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--eval", default=None, help="eval/benchmark corpus parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--threshold-millis", type=int, default=500)
+    p.add_argument("--max-bucket", type=int, default=16)
+    p.add_argument("--decont-min-shared", type=int, default=10)
+    p.add_argument("--rate", action="append", default=[],
+                   help="source=millis (repeatable)")
+    p.add_argument("--default-rate", type=int, default=1000)
+    p.add_argument("--min-chars", type=int, default=100)
+    p.add_argument("--min-tokens", type=int, default=20)
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace) -> DataJobConfig:
+    rates = []
+    for r in args.rate:
+        src, _, millis = r.partition("=")
+        rates.append((src, int(millis)))
+    return DataJobConfig(
+        threshold_millis=args.threshold_millis,
+        max_bucket=args.max_bucket,
+        decont_min_shared=args.decont_min_shared,
+        rates_millis=tuple(sorted(rates)),
+        default_millis=args.default_rate,
+        min_chars=args.min_chars,
+        min_tokens=args.min_tokens,
+    )
+
+
+def compute_gate_ids(docs, eval_df, cfg: DataJobConfig):
+    """The GLOBAL gates reduced to one keep-id DataFrame (narrow bigint
+    column): exact-dedup representative ∩ CC near-dedup keep ∩
+    decontamination survivor ∩ repetition passer.  Per-row gates (quality,
+    sampling) stay out — they recompute for free per bucket."""
+    from .functions.text import repetition_stats_df
+    from .operators.dedup import (
+        decontaminate,
+        exact_dedup_groups,
+        jaccard_pairs,
+        jaccard_rep_pairs,
+        near_dedup_cc,
+    )
+
+    ic, tc = cfg.id_col, cfg.text_col
+    keep = exact_dedup_groups(docs, tc, ic).select(F.col("keep_id").alias(ic))
+    p1 = jaccard_pairs(
+        docs, tc, ic, cfg.threshold_millis, max_bucket=cfg.max_bucket
+    ).select("id_a", "id_b")
+    p2 = jaccard_rep_pairs(
+        docs, tc, ic, cfg.threshold_millis, max_bucket=cfg.max_bucket
+    ).select("id_a", "id_b")
+    cc = near_dedup_cc(docs.select(ic), p1.unionByName(p2).distinct(), ic)
+    keep = keep.join(cc, ic, "left_semi")
+    if eval_df is not None:
+        clean = decontaminate(
+            docs.select(ic, tc), eval_df, tc, ic,
+            min_shared=cfg.decont_min_shared,
+        ).select(ic)
+        keep = keep.join(clean, ic, "left_semi")
+    rep = repetition_stats_df(docs, tc, ic).filter(
+        F.col("top_2gram_n") * cfg.top2gram_ratio_x
+        <= F.greatest("n_2grams", F.lit(1))
+    ).select(ic)
+    return keep.join(rep, ic, "left_semi")
+
+
+def row_gates(df, cfg: DataJobConfig):
+    """The per-row gates — pure functions of the row, applied inside each
+    bucket's scan (no global state)."""
+    stats = quality_stats(F.col(cfg.text_col))
+    out = df.filter(
+        (stats["n_chars"] >= cfg.min_chars)
+        & (stats["n_tokens"] >= cfg.min_tokens)
+        & (stats["n_punct"] * cfg.punct_ratio_x <= stats["n_tokens"])
+    )
+    if cfg.rates_millis or cfg.default_millis != 1000:
+        out = stratified_sample(
+            out, dict(cfg.rates_millis), cfg.default_millis,
+            stratum_col=cfg.stratum_col, id_col=cfg.id_col,
+        )
+    return out
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = build_config(args)
+    ckpt_dir = args.checkpoint_dir or f"{args.output}/_checkpoint"
+    manifest = BucketManifest(ckpt_dir)
+    fp = config_fingerprint(cfg, args.buckets)
+
+    spark = SparkSession.builder.appName("prepare-training-data").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    input_fp = prepass_fingerprint(fp, args.input, docs)
+
+    done = manifest.completed(fp)
+    gates_path = f"{args.output}/_gates/keep_ids"
+    gate_entry = done.get(GATE_PHASE)
+    if gate_entry is not None and gate_entry.get("input_fp") != input_fp:
+        from .checkpoint import ManifestMismatch
+
+        # recomputing gates over changed input while skipping "done"
+        # buckets would mix snapshots — refuse loudly instead
+        raise ManifestMismatch(
+            f"input snapshot changed since checkpoint {ckpt_dir} was "
+            f"written (file set/size/mtime digest moved); start a clean "
+            f"checkpoint dir or restore the original input"
+        )
+    if gate_entry is None:
+        keep = compute_gate_ids(docs, eval_df, cfg)
+        keep.repartition(max(1, args.buckets // 4)).write.mode(
+            "overwrite"
+        ).parquet(gates_path)
+        n_keep = spark.read.parquet(gates_path).count()
+        manifest.mark_done(
+            GATE_PHASE, {"phase": "gates", "n_keep": n_keep, "input_fp": input_fp},
+            fp,
+        )
+        done = manifest.completed(fp)
+    keep_ids = spark.read.parquet(gates_path)
+
+    bucket = doc_bucket_of(cfg.id_col, args.buckets)
+    for k in range(args.buckets):
+        if k in done:
+            continue
+        part = docs.filter(bucket == k).join(keep_ids, cfg.id_col, "left_semi")
+        out = row_gates(part, cfg)
+        out.write.mode("overwrite").parquet(f"{args.output}/bucket={k}")
+        n = spark.read.parquet(f"{args.output}/bucket={k}").count()
+        manifest.mark_done(k, {"rows": n}, fp)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

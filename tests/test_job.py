@@ -204,3 +204,64 @@ def test_prepass_fingerprint_tracks_content_not_just_names(spark, tmp_path):
             os.remove(os.path.join(src, crc))
     fp2 = prepass_fingerprint("cfg", src, spark.read.parquet(src))
     assert fp2 != fp1
+
+
+def test_data_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
+    """Corpus-prep job: two-phase checkpointing — global gate ids computed
+    ONCE, buckets resumable, output equal to prepare_training_data run
+    directly; a dropped bucket reruns without recomputing gates; a changed
+    input snapshot refuses to resume."""
+    import fluent_plugin_detect_exceptions_spark.data_job as dj
+    from fluent_plugin_detect_exceptions_spark.plans.training_data import (
+        prepare_training_data,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "prepared")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.Builder.getOrCreate", lambda self: spark
+    )
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    gate_calls = []
+    orig_gates = dj.compute_gate_ids
+
+    def counting_gates(*a, **k):
+        gate_calls.append(1)
+        return orig_gates(*a, **k)
+
+    monkeypatch.setattr(dj, "compute_gate_ids", counting_gates)
+
+    argv = ["--input", src, "--output", out, "--buckets", "4",
+            "--rate", "src0=1000", "--rate", "src1=250", "--default-rate", "500"]
+    dj.main(argv)
+    assert gate_calls == [1]
+    got = {r["doc_id"] for r in spark.read.parquet(out + "/bucket=*").collect()}
+    direct = prepare_training_data(
+        spark.read.parquet(src),
+        threshold_millis=500, max_bucket=16,
+        rates_millis={"src0": 1000, "src1": 250}, default_millis=500,
+    )
+    want = {r["doc_id"] for r in direct.collect()}
+    assert got == want and got
+
+    # drop bucket 2 -> only that bucket reruns; gates replayed, not rebuilt
+    lines = open(f"{out}/_checkpoint/manifest.jsonl").read().strip().splitlines()
+    with open(f"{out}/_checkpoint/manifest.jsonl", "w") as f:
+        for ln in lines:
+            if json.loads(ln)["bucket"] != 2:
+                f.write(ln + "\n")
+    dj.main(argv)
+    assert gate_calls == [1]
+    got2 = {r["doc_id"] for r in spark.read.parquet(out + "/bucket=*").collect()}
+    assert got2 == want
+
+    # changed input snapshot -> refuse to resume over stale buckets
+    import pytest
+
+    docs.limit(50).write.mode("overwrite").parquet(src)
+    from fluent_plugin_detect_exceptions_spark.checkpoint import ManifestMismatch
+
+    with pytest.raises(ManifestMismatch, match="snapshot changed"):
+        dj.main(argv)
