@@ -327,6 +327,19 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_indexed(spark, path, cents, qv, k=10, n_probe=2)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the THIRD ANN family: product quantization — vectors compress to m
+    # small codes, queries scan ONLY the code columns (m ints vs dim
+    # floats) and score via the driver-built ADC distance table; oracle
+    # re-derives sub-centroids/codes/table entirely in SQL
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sc = S.pq_subcentroids(emb, m=4, k_c=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = _gate_tmpdir("gate_pq_index_") + "/index"
+    S.build_pq_index(emb, path, sc)
+    return S.pq_topk(spark, path, sc, qv, k=10)
+
+
 def _q_enriched_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast lookup-enrich (north rule): routed records joined to the
     # language metadata dim with an explicit broadcast hash join
@@ -512,6 +525,30 @@ def _q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the analytics face of the engine: per-(source, detected language)
+    # corpus rollup — doc counts, token/char volume, exact-dup volume —
+    # one map-side-combinable aggregate over the quality projection
+    d = _docs(spark, sf_dir)
+    stats = T.quality_stats(F.col("text"))
+    return (
+        d.select(
+            "source",
+            T.lang_id(F.col("text")).alias("pred_lang"),
+            stats["n_tokens"].alias("n_tokens"),
+            stats["n_chars"].alias("n_chars"),
+            F.md5("text").alias("__md5"),
+        )
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__md5").alias("n_distinct_texts"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs inside full-signature LSH buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -534,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_indexed_topk": _q_ann_indexed,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "sink_counts": _q_sink_counts,
         "sink_counts_fast": _q_sink_counts_fast,
         "classify_start": _q_classify_start,
@@ -559,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
         "training_data_pipeline": _q_training_data_pipeline,
+        "corpus_report": _q_corpus_report,
         "minhash_bands": _q_minhash_bands,
         "embedding_topk": _q_embedding_topk,
         "embedding_dups": _q_embedding_dups,
@@ -662,6 +701,19 @@ WHERE doc_id NOT IN (
             {"src0": 1000, "src1": 250, "src2": 0}, default_millis=500
         ),
         "repetition_stats": O.repetition_stats_sql(),
+        "corpus_report": rf"""
+SELECT source, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT __md5) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+       CAST(sum(nch) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, {O.lang_case_sql()} AS pred_lang,
+         len(regexp_extract_all(text, '\S+')) AS toks,
+         length(text) AS nch, md5(text) AS __md5
+  FROM documents
+)
+GROUP BY 1, 2""",
         "training_data_pipeline": O.prepare_training_data_sql(
             threshold_millis=500,
             max_bucket=16,
@@ -674,6 +726,7 @@ WHERE doc_id NOT IN (
         "ann_lsh_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
         "ann_indexed_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
         "ivf_topk": O.ivf_topk_sql(n_centroids=8, n_probe=2, k=10),
+        "pq_topk": O.pq_topk_sql(m=4, k_c=8, k=10, dim=64),
         "embedding_dups": O.embedding_dup_pairs_sql(dim=64, threshold_micro=0),
         "enriched_pipeline": O.pipeline_sql(
             N_CONVS, REPEATS, final_select=_enriched_final()

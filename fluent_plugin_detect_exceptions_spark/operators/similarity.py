@@ -281,3 +281,128 @@ def ivf_topk_indexed(
     probes = [cid for _s, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
     cand = spark.read.parquet(index_path).filter(F.col("__centroid").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# --- Product Quantization (PQ) ANN -----------------------------------------
+# The third ANN family (complement to hyperplane-LSH and IVF): vectors
+# compress to m small integer codes (one per subvector, nearest of k_c
+# deterministic sub-centroids by L2), and queries scan ONLY the code
+# columns — m ints per row instead of dim floats — scoring by Asymmetric
+# Distance Computation (ADC): a driver-built (m × k_c) distance table
+# indexed by code.  Centroids reuse the IVF sampling rule (smallest
+# md5(id), ties by id) restricted per subspace, so the DuckDB oracle
+# re-derives them exactly; all distance folds run in array order on both
+# engines (micro-integerized at the end only).
+
+
+def pq_subcentroids(
+    df: DataFrame,
+    m: int = 4,
+    k_c: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """[m][k_c][dim/m] sub-centroid table from the deterministic md5 sample
+    (tiny collect: k_c × dim floats, same budget as ivf_centroids)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k_c)
+        .collect()
+    )
+    full = [[float(x) for x in r[vec_col]] for r in rows]
+    dim = len(full[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [c[s * sub : (s + 1) * sub] for c in full]
+        for s in range(m)
+    ]
+
+
+def _l2sq(a: list[float], b: list[float]) -> float:
+    """||a-b||² as fold(a·a) - 2·fold(a·b) + fold(b·b) — the exact
+    composition both engines evaluate, so codes and ADC tables bit-match."""
+    return _fold_dot(a, a) - 2.0 * _fold_dot(a, b) + _fold_dot(b, b)
+
+
+def pq_code_expr(
+    vec_col: Column, subcents: list[list[list[float]]], s: int
+) -> Column:
+    """0-based nearest sub-centroid for subspace ``s`` (L2, first-minimum
+    tie-break — array_position semantics, mirrored by the oracle's
+    row_number ORDER BY d, cid).  Interpreted-HOF dot products: fine for
+    the one-time index build; the query path never evaluates this."""
+    sub = len(subcents[s][0])
+    vs = _as_double(F.slice(vec_col, s * sub + 1, sub))
+    self_d = dot(vs, vs)
+    dists = []
+    for c in subcents[s]:
+        lit = F.array(*[F.lit(x) for x in c])
+        cc = _fold_dot(c, c)
+        dists.append(self_d - 2.0 * dot(vs, lit) + F.lit(cc))
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    subcents: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize (id, __pq0..__pq{m-1}) — m small ints per vector.  At
+    100 TB this is the index you can afford to scan in full: 4 ints/row vs
+    64 floats/row is a 16-32× scan-byte reduction before any pruning."""
+    m = len(subcents)
+    out = df.select(
+        id_col,
+        *[
+            pq_code_expr(F.col(vec_col), subcents, s).alias(f"__pq{s}")
+            for s in range(m)
+        ],
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def pq_topk(
+    spark,
+    index_path: str,
+    subcents: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the code-only index: approx distance = Σ_s
+    dt[s][code_s], with dt the driver-built (m × k_c) table of
+    ||query_sub − centroid||² (same fold arithmetic as the oracle).  The
+    scan reads only the code columns; scoring is a literal-array lookup
+    per subspace (pure JVM, no embedding bytes touched); TakeOrdered
+    merges per-partition top-k.  Ascending distance, ties by id,
+    micro-integerized."""
+    m = len(subcents)
+    sub = len(subcents[0][0])
+    dt = [
+        [_l2sq(query_vec[s * sub : (s + 1) * sub], c) for c in subcents[s]]
+        for s in range(m)
+    ]
+    idx = spark.read.parquet(index_path)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(v) for v in dt[s]]), F.col(f"__pq{s}") + 1
+        )
+        for s in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    return (
+        idx.select(
+            F.col(id_col),
+            F.floor(adc * 1_000_000).cast("long").alias("adc_micro"),
+        )
+        .orderBy(F.col("adc_micro").asc(), F.col(id_col))
+        .limit(k)
+    )

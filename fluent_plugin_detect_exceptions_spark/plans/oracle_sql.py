@@ -872,6 +872,63 @@ SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
 FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
 
 
+def pq_topk_sql(m: int = 4, k_c: int = 8, k: int = 10, dim: int = 64) -> str:
+    """Mirror of operators.similarity.pq_*: sub-centroids re-derived with
+    the IVF sampling rule, per-subspace codes by L2 argmin (lowest-cid
+    ties), ADC = Σ_s dt[s][code_s] with every distance expanded as
+    ldp(a,a) - 2·ldp(a,b) + ldp(b,b) — the identical fold composition the
+    Spark side evaluates, so doubles match bit-for-bit before the micro
+    floor."""
+    sub = dim // m
+
+    def sl(expr: str, s: int) -> str:
+        return f"list_slice({expr}, {s * sub + 1}, {(s + 1) * sub})"
+
+    def d2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    codes = ",\n".join(
+        f"""code{s} AS (
+  SELECT vec_id, cid AS c{s} FROM (
+    SELECT v.vec_id, c.cid, {d2(sl('v.e', s), sl('c.ce', s))} AS d
+    FROM v CROSS JOIN c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)"""
+        for s in range(m)
+    )
+    dts = ",\n".join(
+        f"""dt{s} AS (
+  SELECT c.cid, {d2(sl('q.qe', s), sl('c.ce', s))} AS d
+  FROM c CROSS JOIN q
+)"""
+        for s in range(m)
+    )
+    joins = "\n".join(
+        f"JOIN code{s} USING (vec_id)" for s in range(1, m)
+    ) + "\n" + "\n".join(
+        f"JOIN dt{s} ON dt{s}.cid = code{s}.c{s}" for s in range(m)
+    )
+    adc = " + ".join(f"dt{s}.d" for s in range(m))
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY md5v, vid) - 1 AS cid, ce
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS md5v, vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings ORDER BY 1, 2 LIMIT {k_c})
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+{codes},
+{dts}
+SELECT code0.vec_id,
+       CAST(floor(({adc}) * 1000000) AS BIGINT) AS adc_micro
+FROM code0
+{joins}
+ORDER BY adc_micro, code0.vec_id LIMIT {k}"""
+
+
 def embedding_dup_pairs_sql(dim: int = 64, n_planes: int = 8,
                             threshold_micro: int = 0) -> str:
     """Mirror of operators.similarity.embedding_dup_pairs: full-signature

@@ -356,3 +356,43 @@ def test_prepare_training_data_with_eval_corpus(spark):
     # decontamination gate, not near-dup/quality
     kept_no_eval = {r["doc_id"] for r in prepare_training_data(docs).collect()}
     assert kept_no_eval == {1, 3}
+
+
+def test_pq_index_codes_only_scan_and_reference(spark, tmp_path):
+    """PQ round-trip: the ADC query's scan reads ONLY the m code columns
+    (the 16-32x scan-byte win), and scores match a numpy reference of the
+    same codes/table math."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sc = S.pq_subcentroids(emb, m=4, k_c=8)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "pq_index")
+    S.build_pq_index(emb, path, sc)
+    out = S.pq_topk(spark, path, sc, qv, k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("embedding" not in ln for ln in rs), plan
+    got = [(r["vec_id"], r["adc_micro"]) for r in out.collect()]
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    m, sub = 4, len(qv) // 4
+    C = np.array(sc)  # (m, k_c, sub)
+    q = np.array(qv)
+    adc = np.zeros(len(rows))
+    for s in range(m):
+        vs = V[:, s * sub : (s + 1) * sub]
+        d = ((vs[:, None, :] - C[s][None, :, :]) ** 2).sum(-1)  # (n, k_c)
+        codes = d.argmin(1)
+        dt = ((q[s * sub : (s + 1) * sub][None, :] - C[s]) ** 2).sum(-1)
+        adc += dt[codes]
+    order = np.lexsort((ids, np.floor(adc * 1e6)))
+    want = [(int(ids[i]), int(np.floor(adc[i] * 1e6))) for i in order[:5]]
+    # reference uses a different float summation order; allow ±1 micro
+    assert [w[0] for w in want] == [g[0] for g in got]
+    assert all(abs(w[1] - g[1]) <= 1 for w, g in zip(want, got))
