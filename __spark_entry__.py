@@ -327,6 +327,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_indexed(spark, path, cents, qv, k=10, n_probe=2)
 
 
+def _q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the CC keep-list composition applied to the EMBEDDING family:
+    # LSH-bucketed cosine pairs -> connected components -> one keep per
+    # component (same transitive semantics as the text-side near_dedup_cc)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = S.embedding_dup_pairs(emb, threshold_micro=0, dim=64).select(
+        "id_a", "id_b"
+    )
+    return D.near_dedup_cc(emb.select("vec_id"), pairs, "vec_id")
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the THIRD ANN family: product quantization — vectors compress to m
     # small codes, queries scan ONLY the code columns (m ints vs dim
@@ -572,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_indexed_topk": _q_ann_indexed,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "embedding_near_dedup": _q_embedding_near_dedup,
         "sink_counts": _q_sink_counts,
         "sink_counts_fast": _q_sink_counts_fast,
         "classify_start": _q_classify_start,
@@ -727,6 +739,7 @@ GROUP BY 1, 2""",
         "ann_indexed_topk": O.ann_lsh_topk_sql(dim=64, n_planes=8, k=10),
         "ivf_topk": O.ivf_topk_sql(n_centroids=8, n_probe=2, k=10),
         "pq_topk": O.pq_topk_sql(m=4, k_c=8, k=10, dim=64),
+        "embedding_near_dedup": O.embedding_near_dedup_sql(dim=64, threshold_micro=0),
         "embedding_dups": O.embedding_dup_pairs_sql(dim=64, threshold_micro=0),
         "enriched_pipeline": O.pipeline_sql(
             N_CONVS, REPEATS, final_select=_enriched_final()

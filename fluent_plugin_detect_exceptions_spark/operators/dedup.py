@@ -678,10 +678,13 @@ def connected_components(
         jump = stepped.select(
             F.col("u").alias("ju"), F.col("label").alias("jlabel")
         )
+        # LAZY checkpoint: the convergence count below is the action that
+        # materializes it, so each round costs exactly ONE job (an eager
+        # checkpoint + count would run two passes per round)
         new_labels = (
             stepped.join(jump, stepped["label"] == jump["ju"], "left")
             .select("u", F.least("label", "jlabel").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(

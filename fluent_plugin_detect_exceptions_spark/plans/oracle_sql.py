@@ -872,6 +872,31 @@ SELECT vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
 FROM s ORDER BY sim_micro DESC, vec_id LIMIT {k}"""
 
 
+def embedding_near_dedup_sql(dim: int = 64, threshold_micro: int = 0) -> str:
+    """Mirror of the embedding_near_dedup gate: connected components over
+    the verified embedding-cosine near-dup pairs, one keep (min id) per
+    component — the CC composition applied to the EMBEDDING family."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b FROM ({embedding_dup_pairs_sql(dim=dim,
+                                                   threshold_micro=threshold_micro)})
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS c FROM reach GROUP BY u)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT u FROM comp WHERE u <> c)"""
+
+
 def pq_topk_sql(m: int = 4, k_c: int = 8, k: int = 10, dim: int = 64) -> str:
     """Mirror of operators.similarity.pq_*: sub-centroids re-derived with
     the IVF sampling rule, per-subspace codes by L2 argmin (lowest-cid
