@@ -3,15 +3,17 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct.  The
 Spark-side plumbing — schema, partition sizing, Arrow batch shape, UDF
 signatures — is real and tested.  Decoding is a ``decode_fn`` hook with
-three REAL pure-python codecs (uncompressed 24-bit BMP; 8-bit PNG across
-all five scanline filters and color types 0/2/3/4/6 via stdlib zlib; PCM16
-WAV — all verified against synthesized bytes end-to-end through the Spark
-plan) plus REAL MP4 metadata probing (``probe_mp4``: ISO-BMFF box walk for
-brand/duration/track count).  Only codec-library-bound work remains
-stubbed behind a clearly marked deterministic fake: JPEG entropy decode
-and video FRAME pixel decode (PIL/ffmpeg absent in this environment and
-unfetchable — no network); swapping those in is a one-function change and
-does not alter the plan shape.
+FOUR real pure-python codecs (uncompressed 24-bit BMP; 8-bit PNG across
+all five scanline filters and color types 0/2/3/4/6 via stdlib zlib;
+baseline sequential JPEG — huffman entropy decode, numpy IDCT, 4:4:4/
+4:2:2/4:2:0 sampling, restart markers; PCM16 WAV — all verified against
+synthesized bytes, JPEG via a test-side encoder with the spec's standard
+tables) plus REAL MP4 metadata probing (``probe_mp4``: ISO-BMFF box walk
+for brand/duration/track count).  Only video FRAME pixel decode remains
+stubbed behind a clearly marked deterministic fake (video codecs are not
+reimplementable here; ffmpeg absent and unfetchable — no network);
+swapping it in is a one-function change and does not alter the plan
+shape.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
 every operator here (a) goes through ``mapInPandas`` with small Arrow
@@ -181,6 +183,254 @@ def decode_png(payload: bytes) -> np.ndarray:
     return rgb.astype(np.float32) / 255.0
 
 
+#: zigzag scan order: ZIGZAG[i] = block index (row*8+col) of the i-th
+#: coefficient in transmission order (JPEG spec figure A.6)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            a[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0)
+    a *= 0.5
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing removed on the fly; RSTn markers byte-align and signal a
+    restart (DC predictors reset by the caller)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bits = 0
+        self.acc = 0
+
+    def read_bit(self) -> int:
+        if self.bits == 0:
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise _MarkerHit(nxt)
+            self.acc = b
+            self.bits = 8
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.bits = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map the ``size``-bit amplitude to its signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """Canonical (length, code) → symbol map from the DHT BITS/HUFFVAL
+    lists."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Baseline sequential JPEG (SOF0) → (H, W, 3) float32 RGB in [0, 1] —
+    PURE python/numpy, no libjpeg/PIL.  Supports 8-bit grayscale and YCbCr
+    with sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0), restart markers,
+    and 0xFF00 stuffing.  Progressive (SOF2) and arithmetic coding are
+    rejected with a clear error.  The entropy loop is per-symbol Python —
+    correctness-first (the Spark plan batches decodes per executor); the
+    IDCT is one numpy matrix sandwich per block."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # list of (cid, h, v, tq)
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment in JPEG stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if pq:  # 16-bit table
+                    vals = struct.unpack_from(f">{64}H", body, p)
+                    p += 128
+                else:
+                    vals = body[p : p + 64]
+                    p += 64
+                t = np.zeros(64, np.float64)
+                for i, v in enumerate(vals):
+                    t[_ZIGZAG[i]] = v
+                qt[tq] = t.reshape(8, 8)
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack_from(">HH", body, 1)
+            n_comp = body[5]
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC2, 0xC1, 0xC3):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cid] = (tt >> 4, tt & 0xF)
+            data_pos = pos + 2 + seg_len
+            return _decode_scan(
+                payload, data_pos, w, h, comps, qt, huff, scan,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("no SOS scan found in JPEG stream")
+
+
+def _decode_scan(payload, data_pos, w, h, comps, qt, huff, scan,
+                 restart_interval):
+    import numpy as np
+
+    A = _dct_matrix()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+    r = _BitReader(payload, data_pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.align()
+                if not (
+                    r.buf[r.pos] == 0xFF and 0xD0 <= r.buf[r.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("expected RST marker")
+                r.pos += 2
+                pred = {cid: 0 for cid in pred}
+            for cid, ch, cv, tq in comps:
+                dc_tab = huff[(0, scan[cid][0])]
+                ac_tab = huff[(1, scan[cid][1])]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = np.zeros(64, np.float64)
+                        t = _huff_decode(r, dc_tab)
+                        diff = _extend(r.receive(t), t) if t else 0
+                        pred[cid] += diff
+                        blk[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, ac_tab)
+                            rrr, ssss = rs >> 4, rs & 0xF
+                            if ssss == 0:
+                                if rrr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rrr
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[_ZIGZAG[k]] = _extend(r.receive(ssss), ssss)
+                            k += 1
+                        coeffs = blk.reshape(8, 8) * qt[tq]
+                        pix = A.T @ coeffs @ A + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    # upsample to full resolution and crop
+    full = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        rgb = np.repeat(full[0][..., None], 3, axis=-1)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return (np.clip(rgb, 0, 255) / 255.0).astype(np.float32)
+
+
 def probe_mp4(payload: bytes) -> dict:
     """MP4/ISO-BMFF metadata WITHOUT ffmpeg: walk the box tree and read
     ftyp brand, mvhd duration/timescale, and the track count.  Pixel decode
@@ -281,15 +531,17 @@ def pooled_feature(arr: np.ndarray, bins: int = 64) -> np.ndarray:
 
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Magic-byte dispatch to a real pure-python decoder; formats without a
-    pure-python codec here (JPEG, video frames) fall through to the
-    deterministic stub."""
+    """Magic-byte dispatch to a real pure-python decoder; only video FRAME
+    pixel decode (codec libraries) falls through to the deterministic
+    stub."""
     if payload is None:
         raise NotImplementedError("null payload: nothing to decode")
     if payload[:2] == b"BM":
         return pooled_feature(decode_bmp(payload))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return pooled_feature(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        return pooled_feature(decode_jpeg(payload))
     if payload[:4] == b"RIFF":
         return pooled_feature(decode_wav_pcm16(payload))
     return _stub_decode(payload, kind)

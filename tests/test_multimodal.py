@@ -296,3 +296,316 @@ def test_probe_media_through_spark(spark):
         .withColumn("height", F.lit(None).cast("int"))
     ).collect()
     assert sorted(r["frame_ms"] for r in frames) == [0, 1000, 2000]
+
+
+# --- JPEG round-trip: test-side baseline encoder (standard Annex K quant +
+# huffman tables) exercising the pure-python decoder --------------------------
+
+_JQT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JQT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _enc_tables():
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        _build_huffman,
+    )
+
+    enc = {}
+    for key, (bits, vals) in {
+        (0, 0): (_DC_L_BITS, _DC_L_VALS), (0, 1): (_DC_C_BITS, _DC_C_VALS),
+        (1, 0): (_AC_L_BITS, _AC_L_VALS), (1, 1): (_AC_C_BITS, _AC_C_VALS),
+    }.items():
+        dec = _build_huffman(bits, vals)
+        enc[key] = {sym: (code, ln) for (ln, code), sym in dec.items()}
+    return enc
+
+
+def _encode_jpeg(img, subsample=False, restart_interval=0):
+    """Minimal baseline JPEG encoder (standard tables): grayscale (h,w) or
+    RGB (h,w,3); 4:4:4 or, with subsample=True, 4:2:0 (2x2 mean chroma)."""
+    import struct
+
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        _ZIGZAG,
+        _dct_matrix,
+    )
+
+    A = _dct_matrix()
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def sub2(p):
+                hh = (h + 1) // 2 * 2
+                ww = (w + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+                return pp.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+            planes = [y, sub2(cb), sub2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    qts = [np.array(_JQT_LUMA, np.float64).reshape(8, 8),
+           np.array(_JQT_CHROMA, np.float64).reshape(8, 8)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                             mode="edge"))
+    enc = _enc_tables()
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    inv_zz = _ZIGZAG  # transmission index -> block index
+
+    def emit_block(ci, block):
+        qt = qts[qids[ci]]
+        tcls = 0 if ci == 0 or gray else 1
+        coeffs = A @ (block - 128.0) @ A.T
+        q = np.round(coeffs / qt).astype(np.int64)
+        zz = [int(q.flat[inv_zz[i]]) for i in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        size = int(abs(diff)).bit_length()
+        code, ln = enc[(0, tcls)][size]
+        bw.write(code, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            bw.write(amp, size)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc[(1, tcls)][0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size = int(abs(v)).bit_length()
+            code, ln = enc[(1, tcls)][run * 16 + size]
+            bw.write(code, ln)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            bw.write(amp, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc[(1, tcls)][0x00]
+            bw.write(code, ln)
+
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                for i in range(len(pred)):
+                    pred[i] = 0
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        emit_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    for tq, table in enumerate(qts[: 1 if gray else 2]):
+        zz = bytes(int(table.flat[inv_zz[i]]) for i in range(64))
+        out += seg(0xDB, bytes([tq]) + zz)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sh, sv = samps[i]
+        sof += bytes([i + 1, (sh << 4) | sv, qids[i]])
+    out += seg(0xC0, sof)
+    tabs = [(0, 0, _DC_L_BITS, _DC_L_VALS), (1, 0, _AC_L_BITS, _AC_L_VALS)]
+    if not gray:
+        tabs += [(0, 1, _DC_C_BITS, _DC_C_VALS), (1, 1, _AC_C_BITS, _AC_C_VALS)]
+    for tc, th, bits, vals in tabs:
+        out += seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if (i == 0 or gray) else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + bytes(bw.out) + b"\xff\xd9"
+
+
+def _smooth_image(h, w, channels=3):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    if channels == 1:
+        return np.clip(base, 0, 255).astype(np.uint8)
+    chans = [base, 128 + 60 * np.cos(xx / 11.0), 128 + 50 * np.sin(yy / 5.0)]
+    return np.clip(np.stack(chans, -1), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_decode_roundtrip_444_and_gray():
+    """decode_jpeg inverts the test encoder within quantization error on a
+    smooth image: 4:4:4 color, grayscale, non-multiple-of-8 sizes."""
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    img = _smooth_image(24, 40)
+    got = (decode_jpeg(_encode_jpeg(img)) * 255).astype(np.float64)
+    assert got.shape == img.shape
+    err = np.abs(got - img.astype(np.float64))
+    assert err.mean() < 3 and err.max() < 25, (err.mean(), err.max())
+
+    odd = _smooth_image(19, 21)  # forces edge-padding MCU crop
+    got = (decode_jpeg(_encode_jpeg(odd)) * 255).astype(np.float64)
+    assert got.shape == odd.shape
+    assert np.abs(got - odd).mean() < 3
+
+    gray = _smooth_image(16, 16, channels=1)
+    got = (decode_jpeg(_encode_jpeg(gray)) * 255).astype(np.float64)
+    assert got.shape == (16, 16, 3)
+    assert np.abs(got[..., 0] - gray).mean() < 3
+    assert np.array_equal(got[..., 0], got[..., 1])
+
+
+def test_jpeg_decode_420_subsampling_and_restarts():
+    """The 4:2:0 interleave path (2x2 luma blocks + subsampled chroma per
+    MCU) and restart-marker handling both decode correctly."""
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    img = _smooth_image(32, 48)
+    got = (decode_jpeg(_encode_jpeg(img, subsample=True)) * 255).astype(np.float64)
+    assert got.shape == img.shape
+    # chroma is 2x2-averaged: luma stays tight, chroma channels looser
+    assert np.abs(got - img.astype(np.float64)).mean() < 6
+
+    rst = _encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    got2 = (decode_jpeg(rst) * 255).astype(np.float64)
+    assert np.abs(got2 - img.astype(np.float64)).mean() < 3
+
+
+def test_jpeg_through_spark_plan(spark):
+    """Real JPEG bytes through the extract_features plan via the magic-byte
+    dispatch (binary payload column, production shape)."""
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        decode_jpeg,
+        real_decode,
+    )
+
+    img = _smooth_image(16, 16)
+    jpg = _encode_jpeg(img)
+    df = spark.createDataFrame(
+        [(20, "image", bytearray(jpg))], "media_id long, kind string, payload binary"
+    )
+    out = extract_features(df, decode_fn=real_decode).collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == 64
+    want = decode_jpeg(jpg).mean(axis=-1).reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    got = np.asarray(out[0]["feature"], np.float32).reshape(8, 8)
+    assert np.allclose(got, want, atol=1e-5)
