@@ -9,10 +9,12 @@ baseline sequential JPEG — huffman entropy decode, numpy IDCT, 4:4:4/
 4:2:2/4:2:0 sampling, restart markers; PCM16 WAV — all verified against
 synthesized bytes, JPEG via a test-side encoder with the spec's standard
 tables) plus REAL MP4 metadata probing (``probe_mp4``: ISO-BMFF box walk
-for brand/duration/track count).  Only video FRAME pixel decode remains
-stubbed behind a clearly marked deterministic fake (video codecs are not
+for brand/duration/track count) and REAL video frame decode for MJPEG AVI
+(``mjpeg_frames``/``extract_frame_features``: each ``??dc`` chunk is a
+standalone JPEG).  Only inter-frame codecs (H.264 etc.) remain stubbed
+behind a clearly marked deterministic fake (entropy models not
 reimplementable here; ffmpeg absent and unfetchable — no network);
-swapping it in is a one-function change and does not alter the plan
+swapping one in is a one-function change and does not alter the plan
 shape.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
@@ -431,6 +433,93 @@ def _decode_scan(payload, data_pos, w, h, comps, qt, huff, scan,
     return (np.clip(rgb, 0, 255) / 255.0).astype(np.float32)
 
 
+def mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Video frames from an MJPEG AVI container — pure python: walk the
+    RIFF chunk tree to the ``movi`` list and return every compressed video
+    chunk (``??dc``), each of which is a standalone JPEG for MJPEG streams.
+    With ``decode_jpeg`` this makes video FRAME pixel decode real for the
+    one codec family that needs no entropy-model reimplementation; other
+    codecs (H.264 etc.) still require a library."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            sz = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start, body_end = pos + 8, min(pos + 8 + sz, end)
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)  # skip list type tag
+            elif cid[2:4] == b"dc":
+                frames.append(bytes(buf[body_start:body_end]))
+            pos += 8 + sz + (sz & 1)
+
+    walk(payload, 12, len(payload))
+    return frames
+
+
+def extract_frame_features(
+    df: DataFrame,
+    every: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-FRAME features from MJPEG videos: one output row per sampled
+    frame (media_id, frame_idx, n_bytes, feature) — the row fan-out
+    happens INSIDE the Python stage (each container's bytes are read once,
+    frames decoded in place), so raw video bytes never duplicate or
+    shuffle; downstream sees only narrow feature rows.  Non-AVI payloads
+    are skipped (no rows)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("feature", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, nbytes, feats = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = (
+                    payload.encode("latin-1", "replace")
+                    if isinstance(payload, str)
+                    else (payload or b"")
+                )
+                try:
+                    frames = mjpeg_frames(raw)
+                except ValueError:
+                    continue
+                for i, fr in enumerate(frames):
+                    if i % every:
+                        continue
+                    ids.append(mid)
+                    idxs.append(i)
+                    nbytes.append(len(fr))
+                    feats.append(
+                        pooled_feature(decode_jpeg(fr)).ravel().tolist()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "n_bytes": np.asarray(nbytes, dtype=np.int64),
+                    # object dtype even when empty: an empty plain list
+                    # defaults the column to float64, which Arrow cannot
+                    # convert to list<float>
+                    "feature": pd.Series(feats, dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def probe_mp4(payload: bytes) -> dict:
     """MP4/ISO-BMFF metadata WITHOUT ffmpeg: walk the box tree and read
     ftyp brand, mvhd duration/timescale, and the track count.  Pixel decode
@@ -543,6 +632,11 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         return pooled_feature(decode_jpeg(payload))
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            frames = mjpeg_frames(payload)
+            if not frames:
+                raise ValueError("AVI payload with no video frames")
+            return pooled_feature(decode_jpeg(frames[0]))
         return pooled_feature(decode_wav_pcm16(payload))
     return _stub_decode(payload, kind)
 

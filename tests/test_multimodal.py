@@ -609,3 +609,58 @@ def test_jpeg_through_spark_plan(spark):
     want = decode_jpeg(jpg).mean(axis=-1).reshape(8, 2, 8, 2).mean(axis=(1, 3))
     got = np.asarray(out[0]["feature"], np.float32).reshape(8, 8)
     assert np.allclose(got, want, atol=1e-5)
+
+
+def _encode_avi_mjpeg(jpegs):
+    """Minimal MJPEG AVI: RIFF('AVI ', LIST('movi', 00dc chunks))."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\0" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    movi = b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs)
+    lst = chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def test_mjpeg_avi_frame_decode(spark):
+    """REAL video frame pixel decode for MJPEG: frames come out of the AVI
+    container and decode through decode_jpeg, per-frame features fan out
+    inside the Python stage, and every-nth sampling works."""
+    import numpy as np
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        decode_jpeg,
+        extract_frame_features,
+        mjpeg_frames,
+        pooled_feature,
+        real_decode,
+    )
+
+    frames = [_smooth_image(16, 16) for _ in range(3)]
+    frames[1] = 255 - frames[1]  # make frames distinguishable
+    jpegs = [_encode_jpeg(f) for f in frames]
+    avi = _encode_avi_mjpeg(jpegs)
+    assert [len(f) for f in mjpeg_frames(avi)] == [len(j) for j in jpegs]
+
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(avi)), (8, "audio", bytearray(make_wav([0.1] * 80)))],
+        "media_id long, kind string, payload binary",
+    )
+    out = extract_frame_features(df).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in out} == {(7, 0), (7, 1), (7, 2)}
+    by_idx = {r["frame_idx"]: np.asarray(r["feature"]) for r in out}
+    for i in range(3):
+        want = pooled_feature(decode_jpeg(jpegs[i])).ravel()
+        assert np.allclose(by_idx[i], want, atol=1e-6)
+    # frame 1 is inverted: its feature must differ from frame 0's
+    assert not np.allclose(by_idx[0], by_idx[1], atol=0.05)
+    # every-nth sampling
+    sampled = extract_frame_features(df, every=2).collect()
+    assert {r["frame_idx"] for r in sampled} == {0, 2}
+    # real_decode on a whole AVI = first-frame feature (video no longer stub)
+    feats = {r["media_id"]: r for r in
+             extract_features(df, decode_fn=real_decode).collect()}
+    assert np.allclose(np.asarray(feats[7]["feature"]),
+                       pooled_feature(decode_jpeg(jpegs[0])).ravel(), atol=1e-6)
