@@ -64,9 +64,10 @@ FEATURE_SCHEMA = StructType(
 
 
 def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
-    """STUB: deterministic fake 'decode' (for formats with no pure-python
-    codec in this environment — PNG/JPEG/MP4 need PIL/ffmpeg).  The fake is
-    deterministic in the payload bytes so tests are reproducible.
+    """STUB: deterministic fake 'decode' — now only the fallback for
+    inter-frame video codecs (H.264 etc., which need ffmpeg); BMP/PNG/
+    JPEG/WAV/MJPEG decode for real above.  The fake is deterministic in
+    the payload bytes so tests are reproducible.
     """
     if payload is None:
         raise NotImplementedError("null payload: nothing to decode")

@@ -1,5 +1,6 @@
-"""Multimodal plumbing: schema, batch shape and plan fan-out are real; the
-decode is a deterministic stub (media codecs unavailable here)."""
+"""Multimodal plumbing AND real pure-python codecs: schema, batch shape,
+plan fan-out, plus BMP/PNG/JPEG/WAV/MJPEG-AVI decode round-trips against
+test-side encoders; only inter-frame video codecs fall to the stub."""
 
 from __future__ import annotations
 
