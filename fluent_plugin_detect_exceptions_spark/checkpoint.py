@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 from dataclasses import dataclass
 
@@ -45,7 +46,11 @@ def _file_stats(df, files: list[str]) -> list[list]:
     inside the listing so URI normalization differences between
     ``df.inputFiles()`` and ``Path.toString()`` can't cause misses.  Any
     filesystem error degrades that entry to (0, 0) — same protection level
-    as the old name-only digest for that file, never a crash."""
+    as the old name-only digest for that file, never a crash — but is
+    LOGGED (ADVICE r4): a consistently failing listing (permissions,
+    object-store quirks) silently reverts the size+mtime snapshot guard to
+    name-only semantics, and operators need to know the in-place-overwrite
+    protection is off for those files."""
     sc = df.sparkSession.sparkContext
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
@@ -63,8 +68,14 @@ def _file_stats(df, files: list[str]) -> list[list]:
                 listing[st.getPath().getName()] = (
                     int(st.getLen()), int(st.getModificationTime())
                 )
-        except Exception:
-            pass
+        except Exception as exc:
+            logging.getLogger(__name__).warning(
+                "prepass fingerprint: listStatus(%s) failed (%s); "
+                "size+mtime snapshot guard degraded to name-only for %d "
+                "file(s) in this directory — in-place overwrites there "
+                "will NOT invalidate the checkpoint",
+                parent, exc, len(entries),
+            )
         for f, name in entries:
             ln, mt = listing.get(name, (0, 0))
             out[f] = [f, ln, mt]

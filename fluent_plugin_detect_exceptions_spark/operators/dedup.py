@@ -642,6 +642,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, comp) for every node appearing in ``pairs``; ``comp`` is the
     MINIMUM id in the node's connected component — the cluster-exact
@@ -656,17 +658,30 @@ def connected_components(
     so convergence is O(log diameter) rounds, not O(diameter).  Each round
     shuffles only narrow (id, label) bigint pairs; the per-round
     ``localCheckpoint`` truncates lineage (iterative plans otherwise grow
-    exponentially) and materializes the frame the convergence count reads.
-    The convergence check is one count action per round — driver-safe (a
-    scalar, not a collect of data).  At 100 TB scale the same loop holds:
-    labels are |V| rows of two bigints, every join is on the id key, and
-    rounds are logarithmic in the largest component's diameter."""
+    exponentially).  Convergence is checked every ``check_every`` rounds
+    (VERDICT r4 item 5): labels are monotone non-increasing per node, so
+    "no change vs the labels at the LAST check" is exactly "fixed point",
+    and batching the check halves driver round-trips on deep graphs — the
+    intervening rounds' lazy checkpoints are materialized by the same
+    count action, so a check of k rounds costs ONE job.  The check is a
+    count action — driver-safe (a scalar, not a collect of data).  If the
+    loop exhausts ``max_iter`` without converging it raises — with pointer
+    jumping (O(log diameter) rounds) that is practically unreachable, so a
+    loud failure beats silently wrong keep-lists (ADVICE r4).  Pass a dict
+    as ``stats`` to receive {"rounds", "checks", "converged"}.  At 100 TB
+    scale the same loop holds: labels are |V| rows of two bigints, every
+    join is on the id key, and rounds are logarithmic in the largest
+    component's diameter."""
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    baseline = labels  # labels as of the last convergence check
+    superseded: list[DataFrame] = []
+    rounds = checks = 0
+    converged = False
+    for it in range(1, max_iter + 1):
         nbr = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -678,30 +693,47 @@ def connected_components(
         jump = stepped.select(
             F.col("u").alias("ju"), F.col("label").alias("jlabel")
         )
-        # LAZY checkpoint: the convergence count below is the action that
-        # materializes it, so each round costs exactly ONE job (an eager
-        # checkpoint + count would run two passes per round)
+        # LAZY checkpoint: the next convergence count is the action that
+        # materializes it (and any intervening rounds' checkpoints in its
+        # lineage), so each CHECK costs exactly ONE job regardless of how
+        # many rounds it covers
         new_labels = (
             stepped.join(jump, stepped["label"] == jump["ju"], "left")
             .select("u", F.least("label", "jlabel").alias("label"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "u"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        # release the superseded round's checkpoint blocks eagerly (safe:
-        # new_labels is already materialized and the convergence count above
-        # consumed the old frame) — without this up to max_iter label-table
-        # copies sit in executor storage until GC (code-review r4)
-        labels.unpersist()
+        superseded.append(labels)
         labels = new_labels
-        if changed == 0:
-            break
+        rounds = it
+        if it % check_every == 0 or it == max_iter:
+            changed = (
+                labels.join(
+                    baseline.withColumnRenamed("label", "old"), "u"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            checks += 1
+            # release superseded rounds' checkpoint blocks eagerly (safe:
+            # `labels` is now materialized and the count above consumed
+            # the baseline) — without this up to max_iter label-table
+            # copies sit in executor storage until GC (code-review r4)
+            for old in superseded:
+                old.unpersist()
+            superseded = []
+            baseline = labels
+            if changed == 0:
+                converged = True
+                break
     edges.unpersist()
+    if stats is not None:
+        stats.update(rounds=rounds, checks=checks, converged=converged)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels may be transitively wrong — raise max_iter "
+            "(pointer jumping needs only O(log diameter) rounds)"
+        )
     return labels.select(F.col("u").alias("id"), F.col("label").alias("comp"))
 
 

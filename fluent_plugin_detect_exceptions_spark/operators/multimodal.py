@@ -221,9 +221,13 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.bits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy stream")
             b = self.buf[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("truncated JPEG entropy stream")
                 nxt = self.buf[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed
@@ -500,12 +504,19 @@ def extract_frame_features(
                 for i, fr in enumerate(frames):
                     if i % every:
                         continue
+                    # a corrupt/truncated embedded frame skips THAT frame,
+                    # not the whole Spark task (ADVICE r4): decode_jpeg
+                    # raises ValueError on any malformed stream (including
+                    # _BitReader truncation, which now raises ValueError
+                    # rather than IndexError)
+                    try:
+                        feat = pooled_feature(decode_jpeg(fr)).ravel().tolist()
+                    except (ValueError, IndexError):
+                        continue
                     ids.append(mid)
                     idxs.append(i)
                     nbytes.append(len(fr))
-                    feats.append(
-                        pooled_feature(decode_jpeg(fr)).ravel().tolist()
-                    )
+                    feats.append(feat)
             yield pd.DataFrame(
                 {
                     "media_id": np.asarray(ids, dtype=np.int64),

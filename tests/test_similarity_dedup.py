@@ -204,6 +204,36 @@ def test_connected_components_converges_on_long_chain(spark):
     assert comps.count() == 64
 
 
+def test_connected_components_batched_convergence_checks(spark):
+    """VERDICT r4 item 5: convergence is checked every ``check_every``
+    rounds, so driver round-trips (one count job per CHECK) drop to about
+    half the rounds at the default check_every=2 — and quartering them
+    still converges to the same labels."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+    )
+    s2, s4 = {}, {}
+    c2 = D.connected_components(pairs, check_every=2, stats=s2)
+    assert {r["comp"] for r in c2.collect()} == {0}
+    assert s2["converged"] and s2["checks"] <= (s2["rounds"] + 1) // 2
+    c4 = D.connected_components(pairs, check_every=4, stats=s4)
+    assert {r["comp"] for r in c4.collect()} == {0}
+    assert s4["converged"] and s4["checks"] <= (s4["rounds"] + 3) // 4
+    assert s4["checks"] < s4["rounds"]
+
+
+def test_connected_components_max_iter_exhaustion_raises(spark):
+    """ADVICE r4: exhausting max_iter without convergence fails LOUDLY
+    instead of returning possibly-wrong labels."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=1, check_every=1)
+
+
 def _sig_rows(df):
     return sorted(tuple(r) for r in df.collect())
 
