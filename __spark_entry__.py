@@ -566,6 +566,72 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_dup_pairs(emb, threshold_micro=0, dim=64)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whole-doc next-fit sequence packing: deterministic md5 corpus shuffle,
+    # hash shards packing independently, oversized docs truncated to one
+    # full pack — vs a recursive-CTE oracle carrying (pack, cum) per shard
+    from fluent_plugin_detect_exceptions_spark.operators.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=64, n_shards=8)
+
+
+def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-style concat-and-chunk spans: the scalable two-pass global cumsum
+    # (per-bucket prefix totals + per-bucket window) vs the oracle's single
+    # global window cumsum over the same deterministic order
+    from fluent_plugin_detect_exceptions_spark.operators.pack import chunk_spans
+
+    return chunk_spans(_docs(spark, sf_dir), seq_len=128, n_buckets=16)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction cascade with per-category audit counts; the synthetic
+    # corpus has no PII-shaped text, so the gate injects one of each
+    # category deterministically from doc_id (same expression in the SQL —
+    # O.PII_AUG_SQL) and hash-compares counts + scrubbed-text md5
+    from fluent_plugin_detect_exceptions_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_scrub_cols,
+    )
+
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"),
+        F.lit(".com or 555-"), (did % 900 + 100).cast("string"),
+        F.lit("-"), (did % 9000 + 1000).cast("string"),
+        F.lit(" card 4111-1111-1111-"), (did % 9000 + 1000).cast("string"),
+        F.lit(" ssn "), (did % 900 + 100).cast("string"),
+        F.lit("-"), (did % 90 + 10).cast("string"),
+        F.lit("-"), (did % 9000 + 1000).cast("string"),
+        F.lit(" host 10."), (did % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    scrubbed, counts = pii_scrub_cols(aug)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def _q_data_job_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the RESUMABLE two-phase corpus-prep job end-to-end (VERDICT r4
+    # item 3): materialize into a fresh temp dir, read the bucket output
+    # back, and gate it against the SAME oracle SQL as
+    # training_data_pipeline — the job must equal the direct composition
+    import fluent_plugin_detect_exceptions_spark.data_job as dj
+
+    out = _gate_tmpdir("data_job_gate_")
+    cfg = dj.DataJobConfig(
+        rates_millis=(("src0", 1000), ("src1", 250), ("src2", 0)),
+        default_millis=500,
+    )
+    dj.run(spark, f"{sf_dir}/documents.parquet", out, buckets=4, cfg=cfg)
+    return spark.read.parquet(f"{out}/bucket=*").select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exception_pipeline": _q_exception_pipeline,
@@ -616,6 +682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_pipeline": _q_enriched_pipeline,
         "events_window_agg": _q_events_window,
         "training_data_filter": _q_training_data_filter,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_spans": _q_chunk_spans,
+        "pii_scrub": _q_pii_scrub,
+        "data_job_output": _q_data_job_output,
     }
 
 
@@ -761,4 +831,15 @@ scored AS (
 )
 SELECT * FROM scored
 WHERE n_chars >= 100 AND n_tokens >= 20 AND n_punct * 5 <= n_tokens""",
+        "pack_sequences": O.pack_sequences_sql(budget=64, n_shards=8),
+        "chunk_spans": O.chunk_spans_sql(seq_len=128, n_buckets=16),
+        "pii_scrub": O.pii_scrub_sql(O.PII_AUG_SQL),
+        # the job's output must equal the direct prepare_training_data
+        # composition — literally the same oracle as training_data_pipeline
+        "data_job_output": O.prepare_training_data_sql(
+            threshold_millis=500,
+            max_bucket=16,
+            rates_millis={"src0": 1000, "src1": 250, "src2": 0},
+            default_millis=500,
+        ),
     }

@@ -156,20 +156,28 @@ def row_gates(df, cfg: DataJobConfig):
     return out
 
 
-def main(argv=None) -> None:
-    args = parse_args(argv)
-    cfg = build_config(args)
-    ckpt_dir = args.checkpoint_dir or f"{args.output}/_checkpoint"
+def run(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    eval_path: str | None = None,
+    buckets: int = 16,
+    cfg: DataJobConfig = DataJobConfig(),
+    checkpoint_dir: str | None = None,
+) -> None:
+    """The job body, session-agnostic (the CLI ``main`` wraps it; the
+    driver's correctness gate calls it directly against the gate session —
+    VERDICT r4 item 2)."""
+    ckpt_dir = checkpoint_dir or f"{output}/_checkpoint"
     manifest = BucketManifest(ckpt_dir)
-    fp = config_fingerprint(cfg, args.buckets)
+    fp = config_fingerprint(cfg, buckets)
 
-    spark = SparkSession.builder.appName("prepare-training-data").getOrCreate()
-    docs = spark.read.parquet(args.input)
-    eval_df = spark.read.parquet(args.eval) if args.eval else None
-    input_fp = prepass_fingerprint(fp, args.input, docs)
+    docs = spark.read.parquet(input_path)
+    eval_df = spark.read.parquet(eval_path) if eval_path else None
+    input_fp = prepass_fingerprint(fp, input_path, docs)
 
     done = manifest.completed(fp)
-    gates_path = f"{args.output}/_gates/keep_ids"
+    gates_path = f"{output}/_gates/keep_ids"
     gate_entry = done.get(GATE_PHASE)
     if gate_entry is not None and gate_entry.get("input_fp") != input_fp:
         from .checkpoint import ManifestMismatch
@@ -183,26 +191,51 @@ def main(argv=None) -> None:
         )
     if gate_entry is None:
         keep = compute_gate_ids(docs, eval_df, cfg)
-        keep.repartition(max(1, args.buckets // 4)).write.mode(
-            "overwrite"
-        ).parquet(gates_path)
+        # partition the checkpointed keep ids BY DOC BUCKET (VERDICT r4
+        # item 6): phase 2 reads only its own bucket's ids via partition
+        # pruning, so the per-bucket semi join stays local-sized even when
+        # the global keep set outgrows a broadcast
+        keep.withColumn(
+            "doc_bucket", doc_bucket_of(cfg.id_col, buckets)
+        ).write.mode("overwrite").partitionBy("doc_bucket").parquet(gates_path)
         n_keep = spark.read.parquet(gates_path).count()
         manifest.mark_done(
             GATE_PHASE, {"phase": "gates", "n_keep": n_keep, "input_fp": input_fp},
             fp,
         )
         done = manifest.completed(fp)
-    keep_ids = spark.read.parquet(gates_path)
 
-    bucket = doc_bucket_of(cfg.id_col, args.buckets)
-    for k in range(args.buckets):
+    bucket = doc_bucket_of(cfg.id_col, buckets)
+    for k in range(buckets):
         if k in done:
             continue
-        part = docs.filter(bucket == k).join(keep_ids, cfg.id_col, "left_semi")
+        # partition-pruned slice of the gates parquet (PartitionFilters on
+        # doc_bucket — plan-asserted in tests/test_job.py)
+        keep_k = (
+            spark.read.parquet(gates_path)
+            .filter(F.col("doc_bucket") == k)
+            .select(cfg.id_col)
+        )
+        part = docs.filter(bucket == k).join(keep_k, cfg.id_col, "left_semi")
         out = row_gates(part, cfg)
-        out.write.mode("overwrite").parquet(f"{args.output}/bucket={k}")
-        n = spark.read.parquet(f"{args.output}/bucket={k}").count()
+        out.write.mode("overwrite").parquet(f"{output}/bucket={k}")
+        n = spark.read.parquet(f"{output}/bucket={k}").count()
         manifest.mark_done(k, {"rows": n}, fp)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = build_config(args)
+    spark = SparkSession.builder.appName("prepare-training-data").getOrCreate()
+    run(
+        spark,
+        args.input,
+        args.output,
+        eval_path=args.eval,
+        buckets=args.buckets,
+        cfg=cfg,
+        checkpoint_dir=args.checkpoint_dir,
+    )
     spark.stop()
 
 

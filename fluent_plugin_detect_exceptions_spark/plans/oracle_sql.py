@@ -1036,3 +1036,105 @@ SELECT id_a, id_b,
        CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT) AS jaccard_millis
 FROM j
 WHERE CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT) >= {threshold_millis}"""
+
+
+def pack_sequences_sql(budget: int = 64, n_shards: int = 8,
+                       salt: str = "pack") -> str:
+    """Next-fit whole-doc sequence packing (operators.pack.pack_sequences)
+    as a linear recursive CTE: rows ordered by (md5 shuffle key, doc_id)
+    within each hash shard; the recursion carries (pack_id, cum) per shard
+    and steps every shard's row k jointly.  Token counts clip to the
+    budget exactly as the Spark side does."""
+    t = r"len(regexp_extract_all(text, '\S+'))"
+    shard = _hash64_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)") + f" % {n_shards}"
+    key = _hash64_sql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT doc_id,
+         LEAST(CAST({t} AS BIGINT), {budget}) AS t,
+         {shard} AS shard,
+         {key} AS key,
+         CAST(row_number() OVER (PARTITION BY {shard}
+                                 ORDER BY {key}, doc_id) AS BIGINT) - 1 AS rn
+  FROM documents
+), packed AS (
+  SELECT shard, rn, doc_id, t,
+         CAST(0 AS BIGINT) AS pack_id, t AS cum, 0 AS pos
+  FROM ord WHERE rn = 0
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.t,
+         CASE WHEN p.cum + o.t > {budget} THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.cum + o.t > {budget} THEN o.t ELSE p.cum + o.t END,
+         CASE WHEN p.cum + o.t > {budget} THEN 0 ELSE p.pos + 1 END
+  FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, pack_id, CAST(pos AS INT) AS pos, t AS n_tokens
+FROM packed"""
+
+
+def chunk_spans_sql(seq_len: int = 128, n_buckets: int = 16) -> str:
+    """GPT-style concat-and-chunk spans (operators.pack.chunk_spans) as ONE
+    global window cumsum over the deterministic order (bucket, key, id) —
+    the oracle can afford the global window the Spark side decomposes into
+    per-bucket prefix sums."""
+    t = r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
+    key = _hash64_sql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    first = f"CAST(floor(start_off / {seq_len}) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {t} AS n_tokens,
+         {key} AS key, {key} % {n_buckets} AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, bucket,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY bucket, key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_off
+  FROM toks)
+SELECT doc_id, n_tokens, bucket, start_off,
+       start_off + n_tokens AS end_off,
+       {first} AS first_seq,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((start_off + n_tokens - 1) / {seq_len}) AS BIGINT)
+            ELSE {first} END AS last_seq
+FROM c"""
+
+
+def pii_scrub_sql(text_expr: str = "text") -> str:
+    """PII redaction cascade (functions.pii) over ``text_expr``: per-category
+    counts under the sequential-cascade semantics (category k counted on the
+    text AFTER categories 1..k-1 replaced) plus the md5 of the fully
+    scrubbed text.  Patterns come from the same PII_PATTERNS table the
+    Spark side compiles, so the two engines share one source of truth."""
+    from ..functions.pii import PII_PATTERNS
+
+    cur = text_expr
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join(count_cols)
+    return f"""
+SELECT doc_id,
+       {cols},
+       md5({cur}) AS scrubbed_md5
+FROM documents"""
+
+
+#: deterministic PII augmentation for the gate corpus (the synthetic
+#: documents contain no PII-shaped text, so the gate injects one of each
+#: category, derived from doc_id — identical expression on both engines)
+PII_AUG_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com or 555-' || "
+    "CAST(100 + doc_id % 900 AS VARCHAR) || '-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' card 4111-1111-1111-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ssn ' || "
+    "CAST(100 + doc_id % 900 AS VARCHAR) || '-' || "
+    "CAST(10 + doc_id % 90 AS VARCHAR) || '-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' host 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)

@@ -265,3 +265,42 @@ def test_data_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
 
     with pytest.raises(ManifestMismatch, match="snapshot changed"):
         dj.main(argv)
+
+
+def test_data_job_gates_parquet_partition_pruned(spark, tmp_path):
+    """VERDICT r4 item 6: the checkpointed keep-id parquet is partitioned
+    by doc_bucket, so each bucket's semi join reads ONLY its own slice
+    (PartitionFilters at plan time) instead of scanning/broadcasting the
+    full keep set."""
+    from pyspark.sql import functions as F
+
+    import fluent_plugin_detect_exceptions_spark.data_job as dj
+
+    out = str(tmp_path / "prep")
+    dj.run(
+        spark, "/root/testdata/sf0.001/documents.parquet", out, buckets=4
+    )
+    gates = spark.read.parquet(f"{out}/_gates/keep_ids")
+    assert "doc_bucket" in gates.columns
+    plan = (
+        gates.filter(F.col("doc_bucket") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("doc_bucket" in ln and "= 2" in ln for ln in pf)
+    # and the job output equals the direct composition (run() path, no CLI)
+    from fluent_plugin_detect_exceptions_spark.plans.training_data import (
+        prepare_training_data,
+    )
+
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/bucket=*").collect()}
+    want = {
+        r["doc_id"]
+        for r in prepare_training_data(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            threshold_millis=500, max_bucket=16,
+        ).collect()
+    }
+    assert got == want and got
