@@ -616,6 +616,109 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROWS-ONLY gate (no oracle by design — DuckDB cannot run Structured
+    # Streaming): the watermark-bounded streaming exact dedup end-to-end
+    # through a real file stream source + availableNow trigger.  The kept
+    # DIGEST SET is deterministic (one per distinct text within the
+    # horizon) even though which duplicate row survives within a single
+    # micro-batch is partition-order arbitrary — so the gate returns the
+    # digests, not the rows.  Semantics (eviction, late events, re-emit)
+    # are pinned by tests/test_streaming.py.
+    from fluent_plugin_detect_exceptions_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    src = _gate_tmpdir("stream_dedup_src_")
+    out = _gate_tmpdir("stream_dedup_out_")
+    docs = _docs(spark, sf_dir)
+    # duplicate-bearing input: each doc also arrives a second time under a
+    # shifted id; event times start at t>0 (epoch-0 is the initial
+    # watermark and would drop the first rows as late)
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.col("doc_id") + 1).alias("ts"),
+    )
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    base.unionByName(dup).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+    )
+    deduped = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.select("text_md5")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("text_md5").distinct()
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROWS-ONLY gate (no oracle by design — DuckDB cannot decode images):
+    # the real multimodal path — binary payloads decoded by the pure-python
+    # BMP decoder inside the Arrow stage, features extracted BEFORE any
+    # shuffle.  Payloads are synthesized deterministically from doc_id in a
+    # generation stage (the operator under test is decode+featurize, not
+    # the generator).
+    import numpy as np
+    import pandas as pd
+
+    from fluent_plugin_detect_exceptions_spark.operators.multimodal import (
+        extract_features,
+        real_decode,
+    )
+
+    def gen(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w = h = 8
+                row_len = (3 * w + 3) & ~3
+                img = bytearray()
+                for y in range(h):
+                    row = bytearray()
+                    for x in range(w):
+                        v = (int(did) * 31 + x * 7 + y * 13) % 256
+                        row += bytes((v, (v * 3) % 256, (v * 5) % 256))
+                    row += b"\x00" * (row_len - len(row))
+                    img += row
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(img), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+                )
+                payloads.append(bytes(header) + bytes(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(np.int64),
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    payloads = docs.mapInPandas(
+        gen, schema="media_id long, kind string, payload binary"
+    )
+    feats = extract_features(payloads, real_decode)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        # integerize the float features for a stable value signature
+        F.expr(
+            "transform(feature, x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("feature_micro"),
+    )
+
+
 def _q_data_job_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the RESUMABLE two-phase corpus-prep job end-to-end (VERDICT r4
     # item 3): materialize into a fresh temp dir, read the bucket output
@@ -686,6 +789,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": _q_chunk_spans,
         "pii_scrub": _q_pii_scrub,
         "data_job_output": _q_data_job_output,
+        # rows-only (no oracle_sql entry BY DESIGN — DuckDB can run neither
+        # Structured Streaming nor image decode; the driver records the
+        # weaker rows+schema check for these two)
+        "streaming_dedup": _q_streaming_dedup,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
