@@ -616,6 +616,12 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary head: map-side-combinable wordcount + doc
+    # frequency, top-100 with the term string as deterministic tie-break
+    return T.vocab_top_terms(_docs(spark, sf_dir), n=100)
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROWS-ONLY gate (no oracle by design — DuckDB cannot run Structured
     # Streaming): the watermark-bounded streaming exact dedup end-to-end
@@ -789,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": _q_chunk_spans,
         "pii_scrub": _q_pii_scrub,
         "data_job_output": _q_data_job_output,
+        "vocab_top_terms": _q_vocab_top_terms,
         # rows-only (no oracle_sql entry BY DESIGN — DuckDB can run neither
         # Structured Streaming nor image decode; the driver records the
         # weaker rows+schema check for these two)
@@ -942,6 +949,7 @@ WHERE n_chars >= 100 AND n_tokens >= 20 AND n_punct * 5 <= n_tokens""",
         "pack_sequences": O.pack_sequences_sql(budget=64, n_shards=8),
         "chunk_spans": O.chunk_spans_sql(seq_len=128, n_buckets=16),
         "pii_scrub": O.pii_scrub_sql(O.PII_AUG_SQL),
+        "vocab_top_terms": O.vocab_top_terms_sql(n=100),
         # the job's output must equal the direct prepare_training_data
         # composition — literally the same oracle as training_data_pipeline
         "data_job_output": O.prepare_training_data_sql(

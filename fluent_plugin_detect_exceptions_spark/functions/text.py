@@ -218,3 +218,38 @@ def repetition_stats_df(df, text_col: str = "text", id_col: str = "doc_id"):
         "n_2grams",
         F.coalesce("top_2gram_n", F.lit(0)).cast("long").alias("top_2gram_n"),
     )
+
+
+def vocab_top_terms(
+    df,
+    n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus vocabulary head: the ``n`` most frequent whitespace terms with
+    total occurrence and document-frequency counts — the rollup a tokenizer
+    build, stopword audit, or corpus drift check starts from.
+
+    (term, n_occurrences, n_docs), ordered by occurrences DESC with the
+    term string as the deterministic tie-break (engines agree bit-for-bit).
+
+    Plan shape: the canonical map-side-combinable wordcount —
+    ``regexp_extract_all`` (identical semantics in the DuckDB oracle,
+    unlike split-on-regex's empty-edge behavior) → explode carrying only
+    (id, term) → partial agg per term before the shuffle, so heavy-hitter
+    terms (stopwords at 100 TB) combine locally and the exchange moves one
+    row per (partition, distinct term); the final top-n is a
+    TakeOrderedAndProject, never a full sort."""
+    terms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(normalized(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("term"),
+    )
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("term").asc()
+    ).limit(n)

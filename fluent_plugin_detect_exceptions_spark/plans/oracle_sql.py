@@ -1138,3 +1138,21 @@ PII_AUG_SQL = (
     "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' host 10.' || "
     "CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
 )
+
+
+def vocab_top_terms_sql(n: int = 100) -> str:
+    """Corpus vocabulary head (functions.text.vocab_top_terms): whitespace
+    terms of the normalized text with occurrence + doc-frequency counts,
+    top-n by occurrences with the term string as deterministic tie-break."""
+    base = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all({base}, '\\S+')) AS term
+  FROM documents
+)
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT {n}"""
