@@ -204,6 +204,27 @@ def run(
             fp,
         )
         done = manifest.completed(fp)
+    elif "doc_bucket" not in spark.read.parquet(gates_path).columns:
+        # checkpoint written by the pre-r5 UNPARTITIONED gates layout:
+        # migrate in place — gate ids are deterministic, so rewriting the
+        # same id set with the doc_bucket partition column is exact and
+        # avoids both a crash (phase 2 filters on doc_bucket) and a gate
+        # recompute (code-review r5)
+        old_ids = spark.read.parquet(gates_path).select(cfg.id_col)
+        migrated = f"{output}/_gates/keep_ids_migrated"
+        old_ids.withColumn(
+            "doc_bucket", doc_bucket_of(cfg.id_col, buckets)
+        ).write.mode("overwrite").partitionBy("doc_bucket").parquet(migrated)
+        # swap directories via the Hadoop FS (cannot overwrite a path
+        # while a plan is reading it; a rename is also cheaper than a
+        # second rewrite)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(migrated)
+        dst = jvm.org.apache.hadoop.fs.Path(gates_path)
+        fs = dst.getFileSystem(hconf)
+        fs.delete(dst, True)
+        fs.rename(src, dst)
 
     bucket = doc_bucket_of(cfg.id_col, buckets)
     for k in range(buckets):

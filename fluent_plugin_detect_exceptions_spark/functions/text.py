@@ -239,11 +239,19 @@ def vocab_top_terms(
     (id, term) → partial agg per term before the shuffle, so heavy-hitter
     terms (stopwords at 100 TB) combine locally and the exchange moves one
     row per (partition, distinct term); the final top-n is a
-    TakeOrderedAndProject, never a full sort."""
+    TakeOrderedAndProject, never a full sort.
+
+    Whitespace is the EXPLICIT class (the BPE_TOKEN_RE portability rule in
+    this file): Java's ``\\s`` includes ``\\x0B`` while RE2's does not, so
+    ``\\s``/``\\S`` here would silently diverge from the DuckDB oracle on
+    vertical tabs (code-review r5)."""
+    base = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " ")
+    )
     terms = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
-            F.regexp_extract_all(normalized(F.col(text_col)), F.lit(r"\S+"), 0)
+            F.regexp_extract_all(base, F.lit(r"[^ \t\n\x0B\f\r]+"), 0)
         ).alias("term"),
     )
     counts = terms.groupBy("term").agg(

@@ -730,6 +730,8 @@ def connected_components(
     scale the same loop holds: labels are |V| rows of two bigints, every
     join is on the id key, and rounds are logarithmic in the largest
     component's diameter."""
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)

@@ -116,10 +116,7 @@ def pack_sequences(
             "n_tokens"
         ),
         F.pmod(
-            stable_hash64(
-                F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-            ),
-            F.lit(int(n_shards)),
+            shuffle_key(F.col(id_col), salt), F.lit(int(n_shards))
         ).alias("shard"),
         shuffle_key(F.col(id_col)).alias("__key"),
     )

@@ -1143,14 +1143,17 @@ PII_AUG_SQL = (
 def vocab_top_terms_sql(n: int = 100) -> str:
     """Corpus vocabulary head (functions.text.vocab_top_terms): whitespace
     terms of the normalized text with occurrence + doc-frequency counts,
-    top-n by occurrences with the term string as deterministic tie-break."""
-    base = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    top-n by occurrences with the term string as deterministic tie-break.
+    Whitespace is the EXPLICIT class on both engines (Java \\s includes
+    \\x0B, RE2's does not — code-review r5)."""
+    base = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+    term_re = r"'[^ \t\n\x0B\f\r]+'"
     return f"""
 SELECT term,
        CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM (
-  SELECT doc_id, unnest(regexp_extract_all({base}, '\\S+')) AS term
+  SELECT doc_id, unnest(regexp_extract_all({base}, {term_re})) AS term
   FROM documents
 )
 GROUP BY term

@@ -304,3 +304,49 @@ def test_data_job_gates_parquet_partition_pruned(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_data_job_migrates_unpartitioned_gates_checkpoint(spark, tmp_path):
+    """Code-review r5: a checkpoint whose gate phase was written by the
+    pre-r5 UNPARTITIONED gates layout must migrate in place on resume
+    (gate ids are deterministic) instead of crashing on the missing
+    doc_bucket column — and without recomputing the gate phase."""
+    import json as _json
+
+    import fluent_plugin_detect_exceptions_spark.data_job as dj
+
+    out = str(tmp_path / "prep")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dj.run(spark, src, out, buckets=4)
+    gates_path = f"{out}/_gates/keep_ids"
+
+    # rewrite the gates checkpoint in the OLD unpartitioned layout
+    old_ids = spark.read.parquet(gates_path).select("doc_id")
+    tmp_old = str(tmp_path / "old_gates")
+    old_ids.write.mode("overwrite").parquet(tmp_old)
+    import shutil
+
+    shutil.rmtree(gates_path)
+    shutil.copytree(tmp_old, gates_path)
+    assert "doc_bucket" not in spark.read.parquet(gates_path).columns
+
+    # drop one bucket from the manifest so the resume has work to do
+    man = f"{out}/_checkpoint/manifest.jsonl"
+    lines = open(man).read().strip().splitlines()
+    with open(man, "w") as f:
+        for ln in lines:
+            if _json.loads(ln)["bucket"] != 2:
+                f.write(ln + "\n")
+    before = {r["doc_id"] for r in spark.read.parquet(f"{out}/bucket=*").collect()}
+
+    gate_calls = []
+    orig = dj.compute_gate_ids
+    dj.compute_gate_ids = lambda *a, **k: (gate_calls.append(1), orig(*a, **k))[1]
+    try:
+        dj.run(spark, src, out, buckets=4)
+    finally:
+        dj.compute_gate_ids = orig
+    assert not gate_calls  # migrated, not recomputed
+    assert "doc_bucket" in spark.read.parquet(gates_path).columns
+    after = {r["doc_id"] for r in spark.read.parquet(f"{out}/bucket=*").collect()}
+    assert after == before

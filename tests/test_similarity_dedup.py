@@ -232,6 +232,8 @@ def test_connected_components_max_iter_exhaustion_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=1, check_every=1)
+    with _pytest.raises(ValueError, match="check_every"):
+        D.connected_components(pairs, check_every=0)
 
 
 def _sig_rows(df):
