@@ -142,3 +142,39 @@ def test_pack_plan_shuffles_narrow_columns_only(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert exchange and all("text" not in ln for ln in exchange)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import numpy as np
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=200),
+    st.integers(1, 120),
+)
+def test_next_fit_bounds_hypothesis(tokens, budget):
+    """The searchsorted pack-boundary kernel against a naive per-doc
+    next-fit, over random token sequences including zeros and
+    over-budget values (callers clip, but the kernel's safety net must
+    still terminate and keep packs contiguous)."""
+    t = np.asarray([min(x, budget) for x in tokens], dtype=np.int64)
+    got = P._next_fit_bounds(t, budget) if len(t) else np.empty(0, np.int64)
+    pack, cum = 0, 0
+    want = []
+    for x in t:
+        if cum + x > budget:
+            pack, cum = pack + 1, int(x)
+        else:
+            cum += int(x)
+        want.append(pack)
+    assert got.tolist() == want
+    # invariants: contiguous non-decreasing ids starting at 0; per-pack
+    # sums within budget
+    if len(t):
+        assert got[0] == 0
+        assert ((np.diff(got) == 0) | (np.diff(got) == 1)).all()
+        for p in range(int(got[-1]) + 1):
+            assert t[got == p].sum() <= budget
