@@ -616,6 +616,13 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source token-length p50/p90/p99 (exact percentiles, milli-floored
+    # — corpus QA rollup; approx=True is the documented 100 TB path for
+    # high-cardinality strata, not oracle-comparable so the gate pins exact)
+    return T.length_percentiles(_docs(spark, sf_dir))
+
+
 def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus vocabulary head: map-side-combinable wordcount + doc
     # frequency, top-100 with the term string as deterministic tie-break
@@ -796,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "data_job_output": _q_data_job_output,
         "vocab_top_terms": _q_vocab_top_terms,
+        "length_percentiles": _q_length_percentiles,
         # rows-only (no oracle_sql entry BY DESIGN — DuckDB can run neither
         # Structured Streaming nor image decode; the driver records the
         # weaker rows+schema check for these two)
@@ -950,6 +958,7 @@ WHERE n_chars >= 100 AND n_tokens >= 20 AND n_punct * 5 <= n_tokens""",
         "chunk_spans": O.chunk_spans_sql(seq_len=128, n_buckets=16),
         "pii_scrub": O.pii_scrub_sql(O.PII_AUG_SQL),
         "vocab_top_terms": O.vocab_top_terms_sql(n=100),
+        "length_percentiles": O.length_percentiles_sql(),
         # the job's output must equal the direct prepare_training_data
         # composition — literally the same oracle as training_data_pipeline
         "data_job_output": O.prepare_training_data_sql(

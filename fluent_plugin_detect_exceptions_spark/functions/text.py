@@ -261,3 +261,35 @@ def vocab_top_terms(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("term").asc()
     ).limit(n)
+
+
+def length_percentiles(
+    df,
+    text_col: str = "text",
+    stratum_col: str = "source",
+    approx: bool = False,
+):
+    """Per-stratum token-length percentiles (p50/p90/p99, milli-floored to
+    integers) — the corpus-QA rollup that catches truncation bugs and
+    source drift that means/medians alone hide.
+
+    ``approx=False`` (default, oracle-gated): EXACT percentiles via
+    Spark's ``percentile`` aggregate, which buffers each group's values —
+    fine for per-source/per-language strata (values per group ≪ memory),
+    and bit-identical to DuckDB's ``quantile_cont`` (both use the standard
+    (n-1)·p linear interpolation over the same integers).  For very
+    high-cardinality strata at 100 TB, pass ``approx=True`` to switch to
+    ``percentile_approx`` (bounded-memory t-digest-style sketch; NOT
+    oracle-comparable, so the driver gate pins the exact form)."""
+    fn = "percentile_approx" if approx else "percentile"
+    q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    toks = token_count(F.col(text_col)).alias("__t")
+    aggs = [
+        F.expr(f"CAST(floor(1000 * {fn}(__t, {p})) AS BIGINT)").alias(name)
+        for name, p in q.items()
+    ]
+    return (
+        df.select(stratum_col, toks)
+        .groupBy(stratum_col)
+        .agg(*aggs)
+    )

@@ -1159,3 +1159,19 @@ FROM (
 GROUP BY term
 ORDER BY n_occurrences DESC, term ASC
 LIMIT {n}"""
+
+
+def length_percentiles_sql() -> str:
+    """Per-source token-length percentiles (functions.text
+    .length_percentiles, exact form): DuckDB quantile_cont uses the same
+    (n-1)*p linear interpolation as Spark's percentile, and the
+    milli-floor integerizes the shared IEEE double."""
+    return r"""
+SELECT source,
+       CAST(floor(1000 * quantile_cont(t, 0.5)) AS BIGINT) AS p50,
+       CAST(floor(1000 * quantile_cont(t, 0.9)) AS BIGINT) AS p90,
+       CAST(floor(1000 * quantile_cont(t, 0.99)) AS BIGINT) AS p99
+FROM (
+  SELECT source, len(regexp_extract_all(text, '\S+')) AS t FROM documents
+)
+GROUP BY source"""
