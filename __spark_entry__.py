@@ -623,6 +623,18 @@ def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.length_percentiles(_docs(spark, sf_dir))
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production dedup mode: NEW batch (doc_id >= 400) deduped AGAINST the
+    # EXISTING corpus (< 400) — exact digest anti-join + bipartite LSH with
+    # Jaccard verification; existing docs never touched, never new x new
+    docs = _docs(spark, sf_dir)
+    return D.incremental_dedup(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        threshold_millis=500,
+    ).select("doc_id", "source")
+
+
 def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus vocabulary head: map-side-combinable wordcount + doc
     # frequency, top-100 with the term string as deterministic tie-break
@@ -804,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_job_output": _q_data_job_output,
         "vocab_top_terms": _q_vocab_top_terms,
         "length_percentiles": _q_length_percentiles,
+        "incremental_dedup": _q_incremental_dedup,
         # rows-only (no oracle_sql entry BY DESIGN — DuckDB can run neither
         # Structured Streaming nor image decode; the driver records the
         # weaker rows+schema check for these two)
@@ -959,6 +972,9 @@ WHERE n_chars >= 100 AND n_tokens >= 20 AND n_punct * 5 <= n_tokens""",
         "pii_scrub": O.pii_scrub_sql(O.PII_AUG_SQL),
         "vocab_top_terms": O.vocab_top_terms_sql(n=100),
         "length_percentiles": O.length_percentiles_sql(),
+        "incremental_dedup": O.incremental_dedup_sql(
+            split_id=400, threshold_millis=500
+        ),
         # the job's output must equal the direct prepare_training_data
         # composition — literally the same oracle as training_data_pipeline
         "data_job_output": O.prepare_training_data_sql(

@@ -928,3 +928,117 @@ def simhash_near_dups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_millis: int = 500,
+    k: int = DEFAULT_SHINGLE_K,
+    max_bucket: int = 0,
+    existing_bands: DataFrame | None = None,
+    existing_shingles: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
+    """Rows of ``new_df`` that survive dedup AGAINST THE EXISTING CORPUS —
+    the production dedup mode at 100 TB, where the standing corpus is never
+    re-deduplicated and each ingestion batch is checked against it:
+
+    * exact leg: drop a new doc whose md5 digest already exists (narrow
+      distinct-digest LEFT ANTI — the digest set is tiny next to the corpus);
+    * near leg: BIPARTITE LSH — the new batch's minhash bands join the
+      existing corpus's bands (never new x new, never existing x existing),
+      candidates verify with exact shingle Jaccard, and a verified match
+      >= ``threshold_millis`` drops the NEW doc.  Existing docs are never
+      touched.
+
+    Intra-batch duplicates are deliberately out of scope here — run the
+    batch family (``exact_dedup`` + ``near_dedup_cc``) over the new batch
+    first; the two compose in either order because this op only ever drops
+    new docs.
+
+    Scale shape: in production the existing side is a MATERIALIZED index —
+    pass ``existing_bands`` (band assignments, e.g. parquet partitioned by
+    band_id) and ``existing_shingles`` ((id, hashed shingle-set) rows) to
+    skip recomputing the corpus side per batch; only the new batch's text
+    is scanned.  ``max_bucket`` (opt-in, same recall caveat as
+    ``jaccard_pairs``) caps candidates by the EXISTING side's bucket size —
+    the quadratic driver, since a boilerplate bucket can hold thousands of
+    corpus docs; measure what was skipped with
+    ``oversized_lsh_buckets(existing_df)``."""
+    if existing_df is None and (existing_bands is None or existing_shingles is None):
+        raise ValueError(
+            "pass existing_df, or BOTH existing_bands and existing_shingles"
+        )
+    fresh = new_df
+    if existing_df is not None:
+        digests = existing_df.select(
+            F.md5(F.col(text_col)).alias("__md5")
+        ).distinct()
+        fresh = new_df.join(
+            digests, F.md5(F.col(text_col)) == F.col("__md5"), "left_anti"
+        )
+    # with only a materialized (bands, shingles) index the exact leg is
+    # skipped — a verbatim copy has Jaccard 1000 and is caught by the near
+    # leg anyway; the digest anti-join is just the cheaper route when the
+    # corpus text is at hand
+
+    nb = minhash_bands(new_df, text_col, id_col, **kw)
+    eb = (
+        existing_bands
+        if existing_bands is not None
+        else minhash_bands(existing_df, text_col, id_col, **kw)
+    )
+    if max_bucket:
+        sizes = eb.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        eb = eb.join(sizes, ["band_id", "band_key"]).filter(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
+
+    def _sh(df):
+        return df.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), k), stable_hash64)
+            ).alias("sh"),
+        )
+
+    cand = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"e.{id_col}").alias("id_old"),
+        )
+        .distinct()
+    )
+    sh_new = _sh(new_df).select(
+        F.col(id_col).alias("id_new"), F.col("sh").alias("sh_n")
+    )
+    sh_old = (
+        existing_shingles.select(
+            F.col(id_col).alias("id_old"), F.col("sh").alias("sh_o")
+        )
+        if existing_shingles is not None
+        else _sh(existing_df).select(
+            F.col(id_col).alias("id_old"), F.col("sh").alias("sh_o")
+        )
+    )
+    joined = cand.join(sh_new, "id_new").join(sh_old, "id_old")
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    jac = F.floor(1000.0 * inter / union).cast("long")
+    drops = (
+        joined.filter(jac >= threshold_millis)
+        .select(F.col("id_new").alias("__drop"))
+        .distinct()
+    )
+    return fresh.join(drops, fresh[id_col] == drops["__drop"], "left_anti")

@@ -1175,3 +1175,69 @@ FROM (
   SELECT source, len(regexp_extract_all(text, '\S+')) AS t FROM documents
 )
 GROUP BY source"""
+
+
+def _bands_cte_side(num_hashes: int, band_size: int, k: int,
+                    suffix: str, where: str) -> str:
+    """One side's sh → sigs → bands CTE chain with a row filter — the
+    bipartite (incremental) variant of _bands_cte; same signature scheme so
+    the banding cannot drift from the batch-family oracles."""
+    sigs = [
+        f"list_min(list_transform(sh, s -> {_hash64_sql(q(str(j) + ':') + ' || s')})) AS s{j}"
+        for j in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        key_parts = " || ',' || ".join(
+            f"CAST(s{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key_parts}) AS band_key "
+            f"FROM sigs_{suffix}"
+        )
+    union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+sh_{suffix} AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM documents {where}),
+sigs_{suffix} AS (SELECT doc_id, {', '.join(sigs)} FROM sh_{suffix}),
+bands_{suffix} AS ({union})"""
+
+
+def incremental_dedup_sql(split_id: int = 400, threshold_millis: int = 500,
+                          num_hashes: int = 8, band_size: int = 2,
+                          k: int = 5) -> str:
+    """Mirror of operators.dedup.incremental_dedup over a split corpus:
+    docs with id < split are the EXISTING corpus, >= split the NEW batch.
+    Surviving new docs = not an exact digest match against existing, and no
+    bipartite LSH candidate verifying at Jaccard >= threshold."""
+    new_w = f"WHERE doc_id >= {split_id}"
+    old_w = f"WHERE doc_id < {split_id}"
+    hs = (f"list_distinct(list_transform({_shingle_sql(k)}, "
+          f"s -> {_hash64_sql('s')}))")
+    return f"""
+WITH {_bands_cte_side(num_hashes, band_size, k, 'n', new_w)},
+{_bands_cte_side(num_hashes, band_size, k, 'e', old_w)},
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, e.doc_id AS id_old
+  FROM bands_n n JOIN bands_e e
+    ON n.band_id = e.band_id AND n.band_key = e.band_key
+),
+shx_n AS (SELECT doc_id, {hs} AS hs FROM documents {new_w}),
+shx_e AS (SELECT doc_id, {hs} AS hs FROM documents {old_w}),
+j AS (
+  SELECT c.id_new,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM cand c
+  JOIN shx_n a ON a.doc_id = c.id_new
+  JOIN shx_e b ON b.doc_id = c.id_old
+),
+drops AS (
+  SELECT DISTINCT id_new FROM j
+  WHERE CAST(floor(1000.0 * inter / (na + nb - inter)) AS BIGINT)
+        >= {threshold_millis}
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id >= {split_id}
+  AND md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < {split_id})
+  AND d.doc_id NOT IN (SELECT id_new FROM drops)"""

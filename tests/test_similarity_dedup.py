@@ -428,3 +428,57 @@ def test_pq_index_codes_only_scan_and_reference(spark, tmp_path):
     # reference uses a different float summation order; allow ±1 micro
     assert [w[0] for w in want] == [g[0] for g in got]
     assert all(abs(w[1] - g[1]) <= 1 for w, g in zip(want, got))
+
+
+def test_incremental_dedup_bipartite(spark):
+    """New batch deduped AGAINST the existing corpus: exact copies and
+    near-dups of existing docs drop; intra-batch duplicates do NOT (out of
+    scope by contract — the batch family composes); existing rows are never
+    touched; the materialized-index path ((bands, shingles) precomputed,
+    no corpus text rescans) gives the same near-leg answer."""
+    from pyspark.sql import functions as F
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different corpus content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # exact
+            (11, "the quick brown fox jumps over the lazy dog toniXht"),  # near
+            (12, "entirely novel text with no counterpart whatsoever"),
+            (13, "entirely novel text with no counterpart whatsoever"),  # intra-batch dup: KEPT
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in D.incremental_dedup(new, existing, threshold_millis=500).collect()
+    }
+    assert kept == {12, 13}
+
+    # materialized-index path: near leg only (no digest anti-join), so the
+    # exact copy (10) is still caught — at Jaccard 1000 — by the bands
+    bands = D.minhash_bands(existing)
+    shs = existing.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(D.shingles(F.col("text")), D.stable_hash64)
+        ).alias("sh"),
+    )
+    kept_idx = {
+        r["doc_id"]
+        for r in D.incremental_dedup(
+            new, existing_bands=bands, existing_shingles=shs,
+            threshold_millis=500,
+        ).collect()
+    }
+    assert kept_idx == {12, 13}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="existing_bands"):
+        D.incremental_dedup(new)
