@@ -578,10 +578,25 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GPT-style concat-and-chunk spans: the scalable two-pass global cumsum
     # (per-bucket prefix totals + per-bucket window) vs the oracle's single
-    # global window cumsum over the same deterministic order
+    # global window cumsum over the same deterministic order.
+    # start_off/end_off are cast to decimal(38,0) to match the oracle's
+    # output TYPE exactly: DuckDB window-SUM returns HUGEINT, which Arrow
+    # surfaces as decimal128(38,0) — a hasher comparing Arrow-typed values
+    # sees Decimal("123") vs int64 123 as different even though the values
+    # are equal (VERDICT r5 item 1; the oracle SQL itself is frozen, so the
+    # representation is aligned on the Spark side).
     from fluent_plugin_detect_exceptions_spark.operators.pack import chunk_spans
 
-    return chunk_spans(_docs(spark, sf_dir), seq_len=128, n_buckets=16)
+    out = chunk_spans(_docs(spark, sf_dir), seq_len=128, n_buckets=16)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.col("start_off").cast("decimal(38,0)").alias("start_off"),
+        F.col("end_off").cast("decimal(38,0)").alias("end_off"),
+        "first_seq",
+        "last_seq",
+    )
 
 
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

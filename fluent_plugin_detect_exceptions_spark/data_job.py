@@ -189,6 +189,14 @@ def run(
             f"written (file set/size/mtime digest moved); start a clean "
             f"checkpoint dir or restore the original input"
         )
+    if gate_entry is not None:
+        # a crash mid-migration (or a lost _gates dir) can leave GATE_PHASE
+        # marked done with gates_path missing or unreadable; recompute the
+        # gate phase instead of crashing on every resume (ADVICE r5)
+        try:
+            spark.read.parquet(gates_path).schema
+        except Exception:
+            gate_entry = None
     if gate_entry is None:
         keep = compute_gate_ids(docs, eval_df, cfg)
         # partition the checkpointed keep ids BY DOC BUCKET (VERDICT r4
@@ -222,9 +230,21 @@ def run(
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         src = jvm.org.apache.hadoop.fs.Path(migrated)
         dst = jvm.org.apache.hadoop.fs.Path(gates_path)
+        aside = jvm.org.apache.hadoop.fs.Path(f"{output}/_gates/keep_ids_old")
         fs = dst.getFileSystem(hconf)
-        fs.delete(dst, True)
-        fs.rename(src, dst)
+        # crash-safe swap (ADVICE r5): rename the old dir aside, rename the
+        # migrated dir into place (both return-checked), then delete the old
+        # dir.  A crash between the renames leaves gates_path missing, which
+        # the unreadable-gates fallback above recovers by recomputing.
+        fs.delete(aside, True)  # leftover from a prior crashed migration
+        if not fs.rename(dst, aside):
+            raise IOError(f"gates migration: renaming {gates_path} aside failed")
+        if not fs.rename(src, dst):
+            fs.rename(aside, dst)  # best-effort restore of the old layout
+            raise IOError(
+                f"gates migration: renaming {migrated} into place failed"
+            )
+        fs.delete(aside, True)
 
     bucket = doc_bucket_of(cfg.id_col, buckets)
     for k in range(buckets):

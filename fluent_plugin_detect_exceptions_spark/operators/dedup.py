@@ -985,11 +985,16 @@ def incremental_dedup(
     # leg anyway; the digest anti-join is just the cheaper route when the
     # corpus text is at hand
 
-    nb = minhash_bands(new_df, text_col, id_col, **kw)
+    # k is forwarded to BOTH the banding and the Jaccard shingles (ADVICE
+    # r5: a non-default k otherwise silently banded with DEFAULT_SHINGLE_K
+    # while verifying with k); a materialized existing_bands /
+    # existing_shingles index must have been built with the same
+    # k/num_hashes/band_size as this call's kw.
+    nb = minhash_bands(new_df, text_col, id_col, k=k, **kw)
     eb = (
         existing_bands
         if existing_bands is not None
-        else minhash_bands(existing_df, text_col, id_col, **kw)
+        else minhash_bands(existing_df, text_col, id_col, k=k, **kw)
     )
     if max_bucket:
         sizes = eb.groupBy("band_id", "band_key").agg(

@@ -489,8 +489,11 @@ def extract_frame_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import logging
+
         for pdf in batches:
             ids, idxs, nbytes, feats = [], [], [], []
+            skipped = 0
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = (
                     payload.encode("latin-1", "replace")
@@ -500,6 +503,7 @@ def extract_frame_features(
                 try:
                     frames = mjpeg_frames(raw)
                 except ValueError:
+                    skipped += 1
                     continue
                 for i, fr in enumerate(frames):
                     if i % every:
@@ -512,11 +516,20 @@ def extract_frame_features(
                     try:
                         feat = pooled_feature(decode_jpeg(fr)).ravel().tolist()
                     except (ValueError, IndexError):
+                        skipped += 1
                         continue
                     ids.append(mid)
                     idxs.append(i)
                     nbytes.append(len(fr))
                     feats.append(feat)
+            if skipped:
+                # no-silent-drops convention (ADVICE r5): corrupt payloads /
+                # frames are visible in the executor log with a count, so a
+                # mostly-corrupt corpus is distinguishable from a healthy one
+                logging.getLogger(__name__).warning(
+                    "extract_frame_features: skipped %d corrupt payload(s)/"
+                    "frame(s) in a %d-row batch", skipped, len(pdf)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": np.asarray(ids, dtype=np.int64),

@@ -380,6 +380,7 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
         unl = pc.match_substring(uniq_arr, "\n").fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
     else:
         tcodes = np.full(n, -1, dtype=np.int64)
+        uniq_arr = pa.array([], pa.string())  # all codes are -1 (null)
         uniqs = pd.Series([], dtype=object)
         ulen = np.zeros(1, dtype=np.int64)
         unl = np.zeros(1, dtype=bool)
@@ -490,23 +491,27 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
     else:
         prepend = np.zeros(p, dtype=bool)
 
-    # distinct strings only: one Python object per dictionary entry, shared
-    vals = uniqs.tolist()
-    parts: list[str | None] = []
-    for s, e in zip(starts, ends):
-        if e - s == 1:
-            c = k_tcode[s]
-            t = vals[c] if c >= 0 else None
-            parts.append(("\n" + t) if (prepend[s] and t is not None) else t)
-            continue
-        buf = []
-        for i in range(s, e):
-            c = k_tcode[i]
-            if c < 0:
-                continue
-            t = vals[c]
-            buf.append("\n" + t if prepend[i] else t)
-        parts.append("".join(buf))
+    # per-segment concat entirely in Arrow C++ (r6, guide §4.2 — this was a
+    # per-row Python loop over every emitted member): take the member
+    # strings from the dictionary (nulls ride through), prepend "\n" where
+    # force_line_breaks demands it, then ONE binary_join per segment over a
+    # ListArray view.  Null members contribute nothing (fill_null("")),
+    # except a single-row all-null segment which stays null — matching the
+    # reference's pass-through of nil-message records.
+    v = pc.take(uniq_arr, pa.array(k_tcode, mask=k_tcode < 0))
+    if cfg.force_line_breaks and prepend.any():
+        pre = pc.binary_join_element_wise(
+            pa.scalar("\n"), v, pa.scalar(""), null_handling="emit_null"
+        )
+        v = pc.if_else(pa.array(prepend), pre, v)
+    offsets = pa.array(np.append(starts, p).astype(np.int32), pa.int32())
+    lists = pa.ListArray.from_arrays(offsets, v.fill_null(""))
+    parts = pc.binary_join(lists, "")
+    single_null = (ends - starts == 1) & (k_tcode[starts] < 0)
+    if single_null.any():
+        parts = pc.if_else(
+            pa.array(single_null), pa.scalar(None, pa.string()), parts
+        )
 
     firsts_orig = pa.array(k_orig[starts])
     names, cols = [], []
@@ -521,7 +526,7 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
     add("seg_start_turn", pa.array(k_sst[starts], pa.int64()))
     add("part_min_turn", pa.array(k_turn[starts], pa.int64()))
     add("n_part", pa.array((ends - starts).astype(np.int64), pa.int64()))
-    add("text_part", pa.array(parts, pa.string()))
+    add("text_part", parts)
     add("lang_id", pa.array(k_lang[starts], pa.int8()))
     add("sync_ok", pa.array(sync_ok[idx][k_pos][starts], pa.bool_()))
     for c in ride_along_cols(tbl.schema.names, cfg, msg_field):

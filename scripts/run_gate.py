@@ -26,6 +26,34 @@ def norm(cols, rows):
     )
 
 
+#: Arrow types a driver-side value hasher serializes identically to the
+#: matching Spark type.  DuckDB silently promotes SUM/window aggregates to
+#: HUGEINT, which Arrow surfaces as decimal128(38,0) — equal VALUES then
+#: hash differently from Spark's int64 (VERDICT r5: the chunk_spans red
+#: cell).  Oracles must CAST aggregates, or the Spark query must emit the
+#: same decimal type (the chunk_spans fix).
+_SAFE_ARROW_TYPES = {"int32", "int64", "double", "bool", "string", "large_string"}
+
+
+def oracle_type_issues(oracle_schema, spark_schema=None) -> list[str]:
+    """Columns of a DuckDB Arrow result whose type a value hasher would
+    serialize differently from Spark's output: anything outside
+    _SAFE_ARROW_TYPES, unless the Spark side emits the identical Arrow type
+    (then both sides hash the same representation)."""
+    spark_types = (
+        {f.name: str(f.type) for f in spark_schema} if spark_schema is not None else {}
+    )
+    bad = []
+    for f in oracle_schema:
+        t = str(f.type)
+        if t in _SAFE_ARROW_TYPES or t.startswith("timestamp"):
+            continue
+        if spark_types.get(f.name) == t:
+            continue
+        bad.append(f"{f.name}: oracle={t} spark={spark_types.get(f.name)}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -61,11 +89,22 @@ def main() -> int:
                 failures.append(name)
             continue
         res = con.sql(oracles[name])
+        # type gate BEFORE the value comparison: a HUGEINT/decimal oracle
+        # column hashes differently driver-side even when values are equal
+        # (run_gate's fetchall() ints would mask it — VERDICT r5 item 2)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        type_bad = oracle_type_issues(
+            con.sql(oracles[name]).fetch_arrow_table().schema,
+            to_arrow_schema(sdf.schema),
+        )
         dn, dv = norm(res.columns, res.fetchall())
-        ok = sn == dn and sv == dv
+        ok = sn == dn and sv == dv and not type_bad
         print(f"{name:30s} {'OK' if ok else 'MISMATCH':8s} rows={len(sv)}")
         if not ok:
             failures.append(name)
+            if type_bad:
+                print(f"  oracle arrow types unsafe for value hashing: {type_bad}")
             if sn != dn:
                 print(f"  columns: spark={sn} duckdb={dn}")
             elif len(sv) != len(dv):

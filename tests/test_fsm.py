@@ -207,3 +207,22 @@ def test_carry_chaining_equals_single_scan(idxs, cuts, max_lines, max_bytes):
     assert got_status.tolist() == full.status.tolist()
     assert got_flags.tolist() == full.seg_start.tolist()
     assert got_emit.tolist() == full.emit.tolist()
+
+
+def test_trajectory_matches_prefix_composition():
+    """r6: the scan's hot loop evaluates the single known-entry trajectory
+    (block tree reduction + lockstep walk) instead of the full Hillis-Steele
+    prefix composition — the two must be bit-identical for every window
+    size, block alignment and entry state."""
+    rng = np.random.default_rng(7)
+    for w in [0, 1, 5, 127, 128, 129, 1000, 8192, 10000]:
+        for n_states in [3, 27]:
+            gw = rng.integers(0, n_states, size=(w, n_states)).astype(np.int8)
+            for entry in range(min(n_states, 4)):
+                want = (
+                    fsm._compose_scan(gw)[:, entry]
+                    if w
+                    else np.empty(0, np.int8)
+                )
+                got = fsm._trajectory(gw, entry)
+                assert np.array_equal(want, got), (w, n_states, entry)
