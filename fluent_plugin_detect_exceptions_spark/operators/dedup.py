@@ -332,7 +332,14 @@ def minhash_signatures_df(
             yield pd.DataFrame(out)
 
     fn = compute_vec if vectorized else compute
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    # small inputs split into fewer scan partitions than cores, starving the
+    # signature stage (r6: 2 parquet splits on a 32-core box); the guard
+    # repartitions the SLIM (id, text) projection up to defaultParallelism
+    # and is a no-op at scale (operators/scale.py)
+    from .scale import ensure_min_parallelism
+
+    slim = ensure_min_parallelism(df.select(id_col, text_col))
+    return slim.mapInPandas(fn, schema=out_schema)
 
 
 def minhash_bands(

@@ -109,8 +109,17 @@ def pack_sequences(
     Only the narrow (id, tokens, shard, key) projection shuffles — text
     never moves.  The per-shard packing is Arrow-batched with no per-doc
     Python (prefix sums + one binary search per pack)."""
-    toks = token_count(F.col(text_col)) if token_col is None else F.col(token_col)
-    slim = df.select(
+    # token_count is the expensive regexp — make sure it runs at full core
+    # width (r6: small inputs scan as 2 partitions; operators/scale.py)
+    from .scale import ensure_min_parallelism
+
+    if token_col is None:
+        base = ensure_min_parallelism(df.select(id_col, text_col))
+        toks = token_count(F.col(text_col))
+    else:
+        base = df.select(id_col, token_col)
+        toks = F.col(token_col)
+    slim = base.select(
         F.col(id_col).alias("doc_id"),
         F.least(toks.cast("long"), F.lit(int(budget)).cast("long")).alias(
             "n_tokens"
@@ -177,9 +186,16 @@ def chunk_spans(
     single-partition global window, which is the naive form's
     scale-killer.  ``last_seq`` is the sequence containing the doc's final
     token (empty docs get ``last_seq = first_seq``)."""
-    toks = token_count(F.col(text_col)) if token_col is None else F.col(token_col)
+    from .scale import ensure_min_parallelism
+
+    if token_col is None:
+        base = ensure_min_parallelism(df.select(id_col, text_col))
+        toks = token_count(F.col(text_col))
+    else:
+        base = df.select(id_col, token_col)
+        toks = F.col(token_col)
     key = shuffle_key(F.col(id_col))
-    slim = df.select(
+    slim = base.select(
         F.col(id_col).alias("doc_id"),
         toks.cast("long").alias("n_tokens"),
         F.pmod(key, F.lit(int(n_buckets))).alias("bucket"),

@@ -91,7 +91,13 @@ def detect_sink_counts(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     if not cfg.fuse_coalesce:
         raise ValueError("detect_sink_counts requires cfg.fuse_coalesce=True")
-    return fused_sink_counts(segment(df.select(*cfg.scan_columns(df.columns)), cfg))
+    # emit_text=False: counts never read the combined text, and the Python
+    # stage is opaque to Catalyst's column pruning — not PRODUCING the text
+    # is the only way to keep it off the Arrow boundary (r6, guide §4.1),
+    # and it also skips the per-segment concat work entirely
+    return fused_sink_counts(
+        segment(df.select(*cfg.scan_columns(df.columns)), cfg, emit_text=False)
+    )
 
 
 def write_sinks(routed: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -75,9 +75,14 @@ def ride_along_cols(df_columns, cfg: PipelineConfig, msg_field: str | None) -> l
     return [c for c in df_columns if c not in skip]
 
 
-def partial_schema(df_schema: StructType, cfg: PipelineConfig, msg_field: str | None) -> StructType:
+def partial_schema(df_schema: StructType, cfg: PipelineConfig, msg_field: str | None,
+                   emit_text: bool = True) -> StructType:
     """Output schema of the fused scan+coalesce stage: one row per segment
-    *partial* (a segment's rows within one chunk)."""
+    *partial* (a segment's rows within one chunk).  ``emit_text=False``
+    omits the combined-text column for counts-only consumers — a Python
+    stage is opaque to Catalyst, so column pruning cannot reach inside it
+    and the only way to not ship unused text back over the Arrow boundary
+    is to not produce it (r6; guide §4.1)."""
     cols = [f.name for f in df_schema.fields]
     fields = [df_schema[cfg.conv_col]]
     if cfg.stream is not None:
@@ -86,7 +91,10 @@ def partial_schema(df_schema: StructType, cfg: PipelineConfig, msg_field: str | 
         StructField("seg_start_turn", LongType(), False),
         StructField("part_min_turn", LongType(), False),
         StructField("n_part", LongType(), False),
-        StructField("text_part", StringType(), True),
+    ]
+    if emit_text:
+        fields.append(StructField("text_part", StringType(), True))
+    fields += [
         StructField("lang_id", ByteType(), False),
         StructField("sync_ok", BooleanType(), False),
     ]
@@ -94,14 +102,16 @@ def partial_schema(df_schema: StructType, cfg: PipelineConfig, msg_field: str | 
     return StructType(fields)
 
 
-def _empty_partials(pdf: pd.DataFrame, cfg: PipelineConfig, msg_field: str | None) -> pd.DataFrame:
+def _empty_partials(pdf: pd.DataFrame, cfg: PipelineConfig, msg_field: str | None,
+                    emit_text: bool = True) -> pd.DataFrame:
     cols = {cfg.conv_col: pdf[cfg.conv_col].iloc[:0]}
     if cfg.stream is not None:
         cols[cfg.stream] = pdf[cfg.stream].iloc[:0]
     for name, typ in (("seg_start_turn", "int64"), ("part_min_turn", "int64"),
                       ("n_part", "int64")):
         cols[name] = pd.Series([], dtype=typ)
-    cols["text_part"] = pd.Series([], dtype=object)
+    if emit_text:
+        cols["text_part"] = pd.Series([], dtype=object)
     cols["lang_id"] = pd.Series([], dtype="int8")
     cols["sync_ok"] = pd.Series([], dtype=bool)
     for c in ride_along_cols(pdf.columns, cfg, msg_field):
@@ -247,23 +257,24 @@ def _scan_partition(
 
 
 def _scan_partition_fused(
-    pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None
+    pdf: pd.DataFrame, cfg: PipelineConfig, rules: CompiledRules, msg_field: str | None,
+    emit_text: bool = True,
 ) -> pd.DataFrame:
     """Fused scan+coalesce output mode: one row per segment *partial* (the
     segment's emitted body rows within one chunk).  The downstream groupBy
     only stitches the rare chunk-spanning segments, so the second shuffle
     carries per-segment rows instead of per-turn rows."""
     if len(pdf) == 0:
-        return _empty_partials(pdf, cfg, msg_field)
+        return _empty_partials(pdf, cfg, msg_field, emit_text)
     warm, texts, sync_ok, g = _scan_core(pdf, cfg, rules, msg_field)
     if g is None:
-        return _empty_partials(pdf, cfg, msg_field)
+        return _empty_partials(pdf, cfg, msg_field, emit_text)
 
     idx, gidx, res, sst = g["idx"], g["gidx"], g["res"], g["sst"]
     keep = res.emit & ~warm[idx]  # emitted body rows only
     k_idx = idx[keep]
     if len(k_idx) == 0:
-        return _empty_partials(pdf, cfg, msg_field)
+        return _empty_partials(pdf, cfg, msg_field, emit_text)
     k_gidx = gidx[keep]
     k_sst = sst[keep]
     k_turn = g["turns"][keep]
@@ -284,20 +295,21 @@ def _scan_partition_fused(
         prepend = np.zeros(p, dtype=bool)
 
     parts: list[str | None] = []
-    for s, e in zip(starts, ends):
-        if e - s == 1:
-            t = k_texts[s]
-            parts.append(
-                ("\n" + t) if (prepend[s] and t is not None) else t
-            )
-            continue
-        buf = []
-        for i in range(s, e):
-            t = k_texts[i]
-            if t is None:
+    if emit_text:
+        for s, e in zip(starts, ends):
+            if e - s == 1:
+                t = k_texts[s]
+                parts.append(
+                    ("\n" + t) if (prepend[s] and t is not None) else t
+                )
                 continue
-            buf.append("\n" + t if prepend[i] else t)
-        parts.append("".join(buf))
+            buf = []
+            for i in range(s, e):
+                t = k_texts[i]
+                if t is None:
+                    continue
+                buf.append("\n" + t if prepend[i] else t)
+            parts.append("".join(buf))
 
     firsts = k_idx[starts]
     out = {cfg.conv_col: pdf[cfg.conv_col].to_numpy()[firsts]}
@@ -306,7 +318,8 @@ def _scan_partition_fused(
     out["seg_start_turn"] = k_sst[starts]
     out["part_min_turn"] = k_turn[starts]
     out["n_part"] = (ends - starts).astype(np.int64)
-    out["text_part"] = parts
+    if emit_text:
+        out["text_part"] = parts
     out["lang_id"] = k_lang[starts]
     out["sync_ok"] = sync_ok[firsts]
     for c in ride_along_cols(pdf.columns, cfg, msg_field):
@@ -314,7 +327,8 @@ def _scan_partition_fused(
     return pd.DataFrame(out)
 
 
-def _empty_partials_arrow(tbl, cfg: PipelineConfig, msg_field: str | None):
+def _empty_partials_arrow(tbl, cfg: PipelineConfig, msg_field: str | None,
+                          emit_text: bool = True):
     import pyarrow as pa
 
     names, cols = [], []
@@ -329,7 +343,8 @@ def _empty_partials_arrow(tbl, cfg: PipelineConfig, msg_field: str | None):
     add("seg_start_turn", pa.array([], pa.int64()))
     add("part_min_turn", pa.array([], pa.int64()))
     add("n_part", pa.array([], pa.int64()))
-    add("text_part", pa.array([], pa.string()))
+    if emit_text:
+        add("text_part", pa.array([], pa.string()))
     add("lang_id", pa.array([], pa.int8()))
     add("sync_ok", pa.array([], pa.bool_()))
     for c in ride_along_cols(tbl.schema.names, cfg, msg_field):
@@ -338,7 +353,7 @@ def _empty_partials_arrow(tbl, cfg: PipelineConfig, msg_field: str | None):
 
 
 def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
-                                msg_field: str | None):
+                                msg_field: str | None, emit_text: bool = True):
     """Arrow-native fused scan+coalesce: the hot stage of the pipeline.
 
     The pandas form pays three Python-object taxes the profile showed
@@ -353,7 +368,7 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
 
     n = tbl.num_rows
     if n == 0:
-        return _empty_partials_arrow(tbl, cfg, msg_field)
+        return _empty_partials_arrow(tbl, cfg, msg_field, emit_text)
 
     def codes_of(col_name):
         enc = pc.dictionary_encode(tbl.column(col_name).combine_chunks())
@@ -428,7 +443,7 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
 
     ranges = [(s, e) for s, e in scan_ranges if e > s]
     if not ranges:
-        return _empty_partials_arrow(tbl, cfg, msg_field)
+        return _empty_partials_arrow(tbl, cfg, msg_field, emit_text)
     idx = np.concatenate([np.arange(s, e) for s, e in ranges])
     m = len(idx)
     first_of_group = np.zeros(m, dtype=bool)
@@ -470,7 +485,7 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
     keep = res.emit & ~warm_s[idx]
     k_pos = np.flatnonzero(keep)
     if len(k_pos) == 0:
-        return _empty_partials_arrow(tbl, cfg, msg_field)
+        return _empty_partials_arrow(tbl, cfg, msg_field, emit_text)
     k_gidx = gidx[k_pos]
     k_sst = sst[k_pos]
     k_turn = turns[k_pos]
@@ -498,20 +513,22 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
     # ListArray view.  Null members contribute nothing (fill_null("")),
     # except a single-row all-null segment which stays null — matching the
     # reference's pass-through of nil-message records.
-    v = pc.take(uniq_arr, pa.array(k_tcode, mask=k_tcode < 0))
-    if cfg.force_line_breaks and prepend.any():
-        pre = pc.binary_join_element_wise(
-            pa.scalar("\n"), v, pa.scalar(""), null_handling="emit_null"
-        )
-        v = pc.if_else(pa.array(prepend), pre, v)
-    offsets = pa.array(np.append(starts, p).astype(np.int32), pa.int32())
-    lists = pa.ListArray.from_arrays(offsets, v.fill_null(""))
-    parts = pc.binary_join(lists, "")
-    single_null = (ends - starts == 1) & (k_tcode[starts] < 0)
-    if single_null.any():
-        parts = pc.if_else(
-            pa.array(single_null), pa.scalar(None, pa.string()), parts
-        )
+    parts = None
+    if emit_text:
+        v = pc.take(uniq_arr, pa.array(k_tcode, mask=k_tcode < 0))
+        if cfg.force_line_breaks and prepend.any():
+            pre = pc.binary_join_element_wise(
+                pa.scalar("\n"), v, pa.scalar(""), null_handling="emit_null"
+            )
+            v = pc.if_else(pa.array(prepend), pre, v)
+        offsets = pa.array(np.append(starts, p).astype(np.int32), pa.int32())
+        lists = pa.ListArray.from_arrays(offsets, v.fill_null(""))
+        parts = pc.binary_join(lists, "")
+        single_null = (ends - starts == 1) & (k_tcode[starts] < 0)
+        if single_null.any():
+            parts = pc.if_else(
+                pa.array(single_null), pa.scalar(None, pa.string()), parts
+            )
 
     firsts_orig = pa.array(k_orig[starts])
     names, cols = [], []
@@ -526,7 +543,8 @@ def _scan_partition_fused_arrow(tbl, cfg: PipelineConfig, rules: CompiledRules,
     add("seg_start_turn", pa.array(k_sst[starts], pa.int64()))
     add("part_min_turn", pa.array(k_turn[starts], pa.int64()))
     add("n_part", pa.array((ends - starts).astype(np.int64), pa.int64()))
-    add("text_part", parts)
+    if emit_text:
+        add("text_part", parts)
     add("lang_id", pa.array(k_lang[starts], pa.int8()))
     add("sync_ok", pa.array(sync_ok[idx][k_pos][starts], pa.bool_()))
     for c in ride_along_cols(tbl.schema.names, cfg, msg_field):
@@ -660,10 +678,15 @@ def find_fallback_convs(
 
 
 def segment(
-    df: DataFrame, cfg: PipelineConfig, rules: CompiledRules | None = None
+    df: DataFrame, cfg: PipelineConfig, rules: CompiledRules | None = None,
+    emit_text: bool = True,
 ) -> DataFrame:
     """Full segmentation: returns the input rows (body only) plus metadata
-    columns (seg_start_turn, seg_flag, emit, lang_id, sync_ok)."""
+    columns (seg_start_turn, seg_flag, emit, lang_id, sync_ok).
+
+    ``emit_text=False`` (fused modes only) omits the combined-text column
+    from the partials — counts-only consumers then never pay the Arrow
+    transfer or the per-segment concat for text nobody reads (r6)."""
     rules = rules or compile_rules(cfg.languages)
     msg_field = cfg.resolve_message_field(df.columns)
     if cfg.multiline_flush_interval is not None and cfg.ts_col not in df.columns:
@@ -702,7 +725,7 @@ def segment(
 
     group_cols = cfg.group_keys() + ["chunk_id"]
     if cfg.fuse_coalesce:
-        out_schema = partial_schema(df.schema, cfg, msg_field)
+        out_schema = partial_schema(df.schema, cfg, msg_field, emit_text)
         scan_fn = _scan_partition_fused
     else:
         out_schema = StructType(
@@ -718,7 +741,7 @@ def segment(
             if not chunks:
                 return
             tbl = pa.Table.from_batches(chunks)
-            out = _scan_partition_fused_arrow(tbl, cfg, rules, msg_field)
+            out = _scan_partition_fused_arrow(tbl, cfg, rules, msg_field, emit_text)
             yield from out.to_batches()
 
         if cfg.input_clustered:
@@ -744,6 +767,9 @@ def segment(
             keys.insert(1, scodes)
         order = np.lexsort(tuple(keys) + (codes,))
         pdf = pdf.take(order).reset_index(drop=True)
-        yield scan_fn(pdf, cfg, rules, msg_field)
+        if scan_fn is _scan_partition_fused:
+            yield scan_fn(pdf, cfg, rules, msg_field, emit_text)
+        else:
+            yield scan_fn(pdf, cfg, rules, msg_field)
 
     return df.repartition(*group_cols).mapInPandas(run, schema=out_schema)

@@ -634,3 +634,19 @@ def test_slim_check_unique_guard(spark):
     dup = df.unionByName(df.limit(1))
     with pytest.raises(ValueError, match="uniqueness precondition"):
         detect_exceptions(dup, cfg)
+
+
+def test_counts_fast_path_emits_no_text(spark):
+    """r6: the counts-only fast path asks the fused stage for text-free
+    partials (emit_text=False) — combined text must not cross the Arrow
+    boundary when nobody reads it.  Counts equality vs the full path is
+    covered by test_fused_sink_counts_matches_full_path."""
+    from fluent_plugin_detect_exceptions_spark.operators.segmenter import segment
+
+    df = synth_transcripts(spark, 6, 1)
+    cfg = PipelineConfig()
+    partials = segment(df.select(*cfg.scan_columns(df.columns)), cfg, emit_text=False)
+    assert "text_part" not in partials.columns
+    # and the default keeps it
+    full = segment(df.select(*cfg.scan_columns(df.columns)), cfg)
+    assert "text_part" in full.columns
