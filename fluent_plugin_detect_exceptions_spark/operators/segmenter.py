@@ -612,30 +612,69 @@ def find_fallback_convs(
     ).select(*sel)
 
     out_schema = StructType(
-        [
-            StructField("conv", zone.schema["conv"].dataType, False),
-            StructField("zchunk", LongType(), False),
-            StructField("synced", BooleanType(), False),
+        [StructField("conv", zone.schema["conv"].dataType, False)]
+    )
+
+    def check_batches(batches):
+        # r6: the former one-group-per-call applyInPandas paid per-group
+        # conversion machinery (~0.9 s of a 1.0 s pre-pass at sf1.0); this
+        # mirrors the main stage — one Arrow table per task, text
+        # dictionary-encoded so the regex bank runs per DISTINCT line, all
+        # groups scanned off one lexsort.  Emits one row per UNSYNCED
+        # (conv[, stream], zchunk) group.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        n = tbl.num_rows
+        if n == 0:
+            return
+
+        def codes_of(name):
+            enc = pc.dictionary_encode(tbl.column(name).combine_chunks())
+            return enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        conv_c = codes_of("conv")
+        zchunk = tbl.column("zchunk").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = tbl.column("turn").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        strm_c = codes_of("strm") if cfg.stream is not None else None
+        t_enc = pc.dictionary_encode(tbl.column("msg").combine_chunks())
+        tcodes = t_enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniqs = pd.Series(t_enc.dictionary.to_pylist(), dtype=object)
+        cls, g_tab, _, _ = classify_encoded(tcodes, uniqs, rules)
+
+        keys = [turn, zchunk]
+        if strm_c is not None:
+            keys.insert(1, strm_c)
+        order = np.lexsort(tuple(keys) + (conv_c,))
+        conv_s = conv_c[order]
+        z_s = zchunk[order]
+        cls_s = cls[order]
+        strm_s = strm_c[order] if strm_c is not None else None
+        new_group = np.ones(n, dtype=bool)
+        if n > 1:
+            same = (conv_s[1:] == conv_s[:-1]) & (z_s[1:] == z_s[:-1])
+            if strm_s is not None:
+                same &= strm_s[1:] == strm_s[:-1]
+            new_group[1:] = ~same
+        gs = np.flatnonzero(new_group)
+        ge = np.append(gs[1:], n)
+        bad = [
+            int(order[s])
+            for s, e in zip(gs, ge)
+            if fsm.subset_sync(cls_s[s:e], g_tab) < 0
         ]
-    )
+        if bad:
+            conv_arr = tbl.column("conv").combine_chunks()
+            yield pa.record_batch(
+                [pc.take(conv_arr, pa.array(np.asarray(bad, dtype=np.int64)))],
+                names=["conv"],
+            )
 
-    def check(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn", kind="mergesort").reset_index(drop=True)
-        cls, g_tab, _, _ = classify(pdf["msg"], rules)
-        return pd.DataFrame(
-            {
-                "conv": pdf["conv"].iloc[:1],
-                "zchunk": pdf["zchunk"].iloc[:1],
-                "synced": [fsm.subset_sync(cls, g_tab) >= 0],
-            }
-        )
-
-    bad_sync = (
-        zone.groupBy(*group)
-        .applyInPandas(check, schema=out_schema)
-        .filter(~F.col("synced"))
-        .select("conv")
-    )
+    bad_sync = zone.repartition(*group).mapInArrow(check_batches, schema=out_schema)
 
     # check 2: chunk occupancy vs zone presence per (conv[, stream]).  One
     # map-side-combinable groupBy over the narrow key columns (collect_set

@@ -50,10 +50,21 @@ def rejoin_ride(grouped: DataFrame, ride: DataFrame | None, cfg: PipelineConfig)
     """Attach first-row ride-along fields to coalesced records.  Exact by
     construction: ``first_turn_idx`` is the segment's first row's turn, and
     (conv[, stream], turn) is unique in the input, so the left join matches
-    exactly the row ``min_by`` would have picked."""
+    exactly the row ``min_by`` would have picked.
+
+    The MERGE hint pins a sort-merge join (r6, guide §3.1): the ride table
+    has the same cardinality as the input, but Catalyst's size estimate
+    after column pruning routinely drops under the auto-broadcast
+    threshold, and the resulting BroadcastExchange collects every input row
+    to the driver and builds the hash relation single-threaded — a measured
+    3.4 s driver stall at 8.5M rows (event-log evidence in
+    OPTIMIZATION_r06.md), and a driver OOM waiting to happen at scale.  A
+    per-input-row table is never a sane broadcast, so SMJ is the right plan
+    at every size; the grouped side reuses its aggregation partitioning, so
+    the hint adds no exchange."""
     if ride is None:
         return grouped
-    return grouped.join(ride, [*cfg.group_keys(), "first_turn_idx"], "left")
+    return grouped.join(ride.hint("merge"), [*cfg.group_keys(), "first_turn_idx"], "left")
 
 
 def detect_exceptions(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
