@@ -24,6 +24,10 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     parallelism when its current plan yields fewer partitions; identity
     otherwise.  Call on a SLIM projection (the exchange moves every column
     of ``df``)."""
+    if df.isStreaming:
+        # a streaming plan has no static partition count (df.rdd is
+        # illegal); micro-batch parallelism is the source's business
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
