@@ -189,22 +189,28 @@ def scan(
         nl = nil[pos:end]
         fr = forced[pos:end]
 
-        gw = g_tab[np.clip(csl, 0, None)]
-        bw = b_tab[np.clip(csl, 0, None)]
+        safe_cls = np.clip(csl, 0, None)
+        gw = g_tab[safe_cls]
         if nl.any():
             gw[nl] = START
-            bw[nl] = False
         rr = fr & ~nl
         if rr.any():
             # forced flush+reset: the row transitions from start_state
             gw[rr] = gw[rr, START][:, None]
-            bw[rr] = bw[rr, START][:, None]
 
         sa = _trajectory(gw, entry)
         sb = np.empty(w, dtype=np.int8)
         sb[0] = entry
         sb[1:] = sa[:-1]
-        matched = bw[np.arange(w), sb]
+        # matched without materializing the (w, |S|) B matrix (r6): gather
+        # b_tab at (class, state-before) directly, then apply the same
+        # overrides the old bw rows received — nil rows never match, forced
+        # rows match as if entered from start_state.
+        matched = b_tab[safe_cls, sb]
+        if nl.any():
+            matched[nl] = False
+        if rr.any():
+            matched[rr] = b_tab[safe_cls[rr], START]
         inside = sa != START
         st = np.where(
             matched,
